@@ -1,0 +1,46 @@
+import numpy as np
+import pytest
+
+from ov2slam_tpu.utils.config import SlamConfig, load_config
+
+REF_YAML = "/root/reference/parameters_files/fast/euroc/euroc_stereo.yaml"
+
+
+def test_load_reference_yaml():
+    cfg = load_config(REF_YAML)
+    assert cfg.stereo and not cfg.mono
+    assert cfg.cam_left.fx == pytest.approx(458.654)
+    assert cfg.cam_right.fy == pytest.approx(456.134)
+    assert cfg.max_dist == 50
+    assert cfg.klt_win_size == 9
+    assert cfg.klt_pyr_lvl == 3
+    assert cfg.robust_mono_th == pytest.approx(5.9915)
+    assert cfg.use_fast and not cfg.use_shi_tomasi
+    assert not cfg.use_loop_closer
+    assert cfg.cam_left.T_body_cam is not None
+    assert cfg.cam_left.T_body_cam.shape == (4, 4)
+    np.testing.assert_allclose(cfg.cam_left.T_body_cam[3], [0, 0, 0, 1])
+
+
+def test_grid_capacity_matches_reference_formula():
+    cfg = load_config(REF_YAML)
+    # slam_params.cpp:107-110: ceil(752/50)*ceil(480/50) = 16*10 = 160
+    gy, gx = cfg.grid_cells
+    assert (gy, gx) == (10, 16)
+    assert cfg.max_kps >= 160
+    assert cfg.max_kps % 128 == 0
+
+
+def test_accurate_profile():
+    cfg = load_config(
+        "/root/reference/parameters_files/accurate/euroc/euroc_stereo.yaml")
+    assert cfg.use_singlescale_detector
+    assert cfg.use_clahe
+    assert cfg.use_loop_closer
+    assert cfg.max_dist == 35
+
+
+def test_mode_validation():
+    cfg = SlamConfig(mono=True, stereo=True)
+    with pytest.raises(ValueError):
+        cfg.validate()
