@@ -1,0 +1,132 @@
+"""Image preprocessing: pyramids, gradients, blur, CLAHE.
+
+TPU-native replacement for the reference's OpenCV preprocessing
+(`visual_front_end.cpp:1143-1177` preprocessImage: CLAHE +
+buildOpticalFlowPyramid). Everything is expressed as convolutions and
+gathers so XLA maps it onto the MXU/VPU; images are f32 in [0, 255].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _conv2d_same(img, kernel):
+    """2D correlation with SAME (edge-replicate) padding; img (H, W)."""
+    kh, kw = kernel.shape
+    ph, pw = kh // 2, kw // 2
+    padded = jnp.pad(img, ((ph, ph), (pw, pw)), mode="edge")
+    return jax.lax.conv_general_dilated(
+        padded[None, None, :, :],
+        kernel[None, None, :, :].astype(img.dtype),
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0, 0]
+
+
+def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def gaussian_blur(img, sigma: float = 1.0, radius: int = 2):
+    """Separable Gaussian blur."""
+    k = jnp.asarray(gaussian_kernel1d(sigma, radius))
+    img = _conv2d_same(img, k[None, :])
+    return _conv2d_same(img, k[:, None])
+
+
+def scharr_gradients(img):
+    """Scharr x/y gradients (OpenCV-compatible 3/10/3 kernel, scaled 1/32
+    so gradient units stay in intensity-per-pixel)."""
+    kx = jnp.asarray(
+        np.array([[-3, 0, 3], [-10, 0, 10], [-3, 0, 3]], np.float32) / 32.0)
+    ky = jnp.asarray(
+        np.array([[-3, -10, -3], [0, 0, 0], [3, 10, 3]], np.float32) / 32.0)
+    return _conv2d_same(img, kx), _conv2d_same(img, ky)
+
+
+def pyr_down(img):
+    """Gaussian 5-tap blur + 2x decimation (cv::pyrDown equivalent)."""
+    k = jnp.asarray(np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0)
+    img = _conv2d_same(img, k[None, :])
+    img = _conv2d_same(img, k[:, None])
+    return img[::2, ::2]
+
+
+def build_pyramid(img, levels: int) -> List[jnp.ndarray]:
+    """Image pyramid, level 0 = full resolution (buildOpticalFlowPyramid
+    equivalent; levels = nklt_pyr_lvl + 1)."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        pyr.append(pyr_down(pyr[-1]))
+    return pyr
+
+
+# --------------------------------------------------------------------------
+# CLAHE
+# --------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tiles", "nbins"))
+def clahe(img, clip_limit: float = 3.0, tiles: Tuple[int, int] = (8, 8),
+          nbins: int = 256):
+    """Contrast-limited adaptive histogram equalization.
+
+    Matches cv::createCLAHE(fclahe_val, (8,8)) used at `ov2slam.cpp:85-87`:
+    per-tile clipped histograms → CDF LUTs → bilinear LUT interpolation.
+    Input f32 in [0, 255]; output same range.
+    """
+    H, W = img.shape
+    ty, tx = tiles
+    th, tw = -(-H // ty), -(-W // tx)  # ceil tile size
+    padded = jnp.pad(img, ((0, ty * th - H), (0, tx * tw - W)), mode="edge")
+
+    bins = jnp.clip(padded.astype(jnp.int32), 0, nbins - 1)
+    tiles_img = bins.reshape(ty, th, tx, tw).transpose(0, 2, 1, 3).reshape(
+        ty * tx, th * tw)
+
+    # per-tile histograms: scatter-add is ~32 ns/elem on TPU, so count by
+    # comparison-reduce instead (tiles x pixels x bins boolean sum on VPU)
+    bin_ids = jnp.arange(nbins, dtype=jnp.int32)
+    hist = jnp.sum(
+        (tiles_img[:, :, None] == bin_ids[None, None, :]).astype(jnp.float32),
+        axis=1)  # (ty*tx, nbins)
+
+    # clip and redistribute (OpenCV semantics: clipLimit scaled by tile size)
+    npx = th * tw
+    limit = jnp.maximum(clip_limit * npx / nbins, 1.0)
+    excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=1, keepdims=True)
+    hist = jnp.minimum(hist, limit) + excess / nbins
+
+    cdf = jnp.cumsum(hist, axis=1)
+    cdf = (cdf - cdf[:, :1]) / jnp.maximum(cdf[:, -1:] - cdf[:, :1], 1.0)
+    luts = cdf * (nbins - 1.0)  # (ty*tx, nbins)
+    luts = luts.reshape(ty, tx, nbins)
+
+    # bilinear interpolation between the 4 surrounding tile LUTs
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=img.dtype),
+                          jnp.arange(W, dtype=img.dtype), indexing="ij")
+    fy = (yy - th / 2.0 + 0.5) / th
+    fx = (xx - tw / 2.0 + 0.5) / tw
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ty - 1)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, tx - 1)
+    y1 = jnp.clip(y0 + 1, 0, ty - 1)
+    x1 = jnp.clip(x0 + 1, 0, tx - 1)
+    wy = jnp.clip(fy - y0, 0.0, 1.0)
+    wx = jnp.clip(fx - x0, 0.0, 1.0)
+
+    b = jnp.clip(img.astype(jnp.int32), 0, nbins - 1)
+    v00 = luts[y0, x0, b]
+    v01 = luts[y0, x1, b]
+    v10 = luts[y1, x0, b]
+    v11 = luts[y1, x1, b]
+    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    return out

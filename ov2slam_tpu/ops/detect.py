@@ -1,0 +1,227 @@
+"""Grid-bucketed corner detection, batched over cells.
+
+TPU-native replacement for `FeatureExtractor`
+(`src/feature_extractor.cpp`): the reference loops grid cells with
+`cv::parallel_for_` (`:334-392` Shi-Tomasi single-scale, `:492-534` FAST);
+here the response is computed for the whole image with convolutions and the
+per-cell top-1 selection is a single reshaped argmax — the natural data
+parallelism over cells that the reference approximates with threads.
+
+Reference semantics kept:
+- cells containing a currently-tracked keypoint are skipped
+  (`feature_extractor.cpp:312-323` voccupcells),
+- pixels within cellsize/4 of an existing keypoint are masked
+  (`:314-316` cv::circle mask),
+- response threshold relative to the per-image max (quality level), with
+  host-side adaptive update of the quality (`:418-423`, `:546-552`),
+- sub-pixel corner refinement (`:559-570` cornerSubPix) via quadratic fit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.image import _conv2d_same, scharr_gradients
+
+
+# --------------------------------------------------------------------------
+# Response images
+# --------------------------------------------------------------------------
+
+def shi_tomasi_response(img, block: int = 3):
+    """Min-eigenvalue of the structure tensor (cv::cornerMinEigenVal)."""
+    gx, gy = scharr_gradients(img)
+    ones = jnp.ones((block, block), img.dtype) / (block * block)
+    gxx = _conv2d_same(gx * gx, ones)
+    gxy = _conv2d_same(gx * gy, ones)
+    gyy = _conv2d_same(gy * gy, ones)
+    tr = gxx + gyy
+    det = gxx * gyy - gxy * gxy
+    return (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / 2.0
+
+
+# standard Bresenham circle of radius 3 (16 px), (dx, dy):
+_FAST_OFFSETS = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def fast_response(img, threshold: float, arc: int = 9):
+    """FAST-N corner response (0 where not a corner, else SAD-style score).
+
+    Branch-free formulation: build 16 shifted copies of the image, compute
+    brighter/darker boolean rings, test all 16 contiguous arcs of length
+    ``arc`` with AND-reductions, and score corners by the sum of absolute
+    circle differences exceeding the threshold (OpenCV's FAST score).
+    """
+    H, W = img.shape
+    pad = 3
+    p = jnp.pad(img, pad, mode="edge")
+    ring = jnp.stack(
+        [p[pad + dy:pad + dy + H, pad + dx:pad + dx + W]
+         for (dx, dy) in _FAST_OFFSETS], axis=0)  # (16, H, W)
+
+    diff = ring - img[None]
+    brighter = diff > threshold
+    darker = diff < -threshold
+
+    def has_arc(flags):
+        # pack the 16 ring flags into one uint32 per pixel, then test all 16
+        # rotations of a contiguous ``arc``-bit mask — 16 compares on the
+        # packed image instead of 16*arc boolean ANDs.
+        weights = (1 << jnp.arange(16, dtype=jnp.uint32))
+        packed = jnp.sum(
+            flags.astype(jnp.uint32) * weights[:, None, None], axis=0)
+        out = jnp.zeros(flags.shape[1:], bool)
+        base = (1 << arc) - 1
+        for s in range(16):
+            mask = ((base << s) | (base >> (16 - s))) & 0xFFFF
+            m = jnp.uint32(mask)
+            out = out | ((packed & m) == m)
+        return out
+
+    is_corner = has_arc(brighter) | has_arc(darker)
+    score = jnp.sum(jnp.maximum(jnp.abs(diff) - threshold, 0.0), axis=0)
+    return jnp.where(is_corner, score, 0.0)
+
+
+# --------------------------------------------------------------------------
+# Grid selection
+# --------------------------------------------------------------------------
+
+def _subpix_quadratic(resp_pad, px, py):
+    """Sub-pixel peak refinement by 1D quadratic fits on the 3x3 response
+    neighborhood (cornerSubPix stand-in; exact for locally parabolic peaks)."""
+    c = resp_pad[py + 1, px + 1]
+    l = resp_pad[py + 1, px]
+    r = resp_pad[py + 1, px + 2]
+    u = resp_pad[py, px + 1]
+    d = resp_pad[py + 2, px + 1]
+    denx = l - 2 * c + r
+    deny = u - 2 * c + d
+    dx = jnp.where(jnp.abs(denx) > 1e-9, 0.5 * (l - r) / denx, 0.0)
+    dy = jnp.where(jnp.abs(deny) > 1e-9, 0.5 * (u - d) / deny, 0.0)
+    return jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)
+
+
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "refine"))
+def grid_detect(
+    response,
+    existing_kps,
+    existing_valid,
+    quality_th,
+    cell_size: int,
+    max_out: int,
+    refine: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-cell top-1 detection with occupancy masking.
+
+    Args:
+      response: (H, W) corner response image.
+      existing_kps: (M, 2) xy of currently tracked keypoints.
+      existing_valid: (M,) bool.
+      quality_th: absolute response threshold (caller scales by image max
+        for the relative-quality semantics).
+      cell_size: grid cell size in px (nmaxdist).
+      max_out: static output capacity (>= number of cells).
+
+    Returns:
+      kps (max_out, 2) xy, scores (max_out,), valid (max_out,) —
+      sorted by score descending.
+    """
+    H, W = response.shape
+    gy, gx = H // cell_size, W // cell_size
+
+    # mask pixels within cellsize/4 of an existing keypoint (reference uses
+    # cv::circle radius nhalfcell = ncellsize/4)
+    radius = cell_size / 4.0
+    yy = jnp.arange(H, dtype=response.dtype)
+    xx = jnp.arange(W, dtype=response.dtype)
+    # distance test per existing kp, accumulated as a mask (M is small)
+    ex = jnp.where(existing_valid[:, None], existing_kps,
+                   jnp.full_like(existing_kps, -1e6))
+    dy2 = (yy[None, :] - ex[:, 1:2]) ** 2          # (M, H)
+    dx2 = (xx[None, :] - ex[:, 0:1]) ** 2          # (M, W)
+    near = (dy2[:, :, None] + dx2[:, None, :]) < radius * radius  # (M, H, W)
+    masked = jnp.where(near.any(axis=0), 0.0, response)
+
+    # occupied cells (cell of any existing kp) are skipped entirely
+    cell_ids = (jnp.clip(ex[:, 1] // cell_size, 0, gy - 1).astype(jnp.int32)
+                * gx
+                + jnp.clip(ex[:, 0] // cell_size, 0, gx - 1).astype(jnp.int32))
+    cell_ids = jnp.where(existing_valid, cell_ids, gy * gx)  # OOB → dropped
+    occupied = (
+        jnp.zeros((gy * gx,), jnp.int32)
+        .at[cell_ids].add(1, mode="drop")
+    ) > 0
+
+    # per-cell argmax via reshape
+    crop = masked[: gy * cell_size, : gx * cell_size]
+    cells = crop.reshape(gy, cell_size, gx, cell_size).transpose(0, 2, 1, 3)
+    cells = cells.reshape(gy * gx, cell_size * cell_size)
+    best = jnp.argmax(cells, axis=-1)
+    score = jnp.take_along_axis(cells, best[:, None], axis=-1)[:, 0]
+
+    by = best // cell_size
+    bx = best % cell_size
+    cy = jnp.arange(gy * gx) // gx
+    cx = jnp.arange(gy * gx) % gx
+    px = (cx * cell_size + bx).astype(jnp.int32)
+    py = (cy * cell_size + by).astype(jnp.int32)
+
+    ok = (score > quality_th) & (~occupied)
+
+    if refine:
+        resp_pad = jnp.pad(response, 1, mode="edge")
+        dx, dy = _subpix_quadratic(resp_pad, px, py)
+    else:
+        dx = dy = jnp.zeros_like(score)
+
+    kps = jnp.stack([px + dx, py + dy], axis=-1)
+
+    # rank by score, pad/truncate to max_out
+    order = jnp.argsort(jnp.where(ok, -score, jnp.inf))
+    kps = kps[order][:max_out]
+    score = score[order][:max_out]
+    ok = ok[order][:max_out]
+
+    # cross-cell NMS: a corner straddling a cell border can fire in both
+    # neighboring cells; suppress any candidate within the mask radius of a
+    # higher-ranked one (the reference dedupes these later in the Frame
+    # occupancy grid, `frame.cpp:508-651`).
+    d2 = jnp.sum((kps[:, None, :] - kps[None, :, :]) ** 2, axis=-1)
+    n = kps.shape[0]
+    higher = (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])
+    clash = (d2 < radius * radius) & higher & ok[None, :]
+    ok = ok & ~clash.any(axis=1)
+    pad = max_out - kps.shape[0]
+    if pad > 0:
+        kps = jnp.pad(kps, ((0, pad), (0, 0)))
+        score = jnp.pad(score, (0, pad))
+        ok = jnp.pad(ok, (0, pad))
+    return kps, score, ok
+
+
+def detect_single_scale(img, existing_kps, existing_valid, quality_level,
+                        cell_size: int, max_out: int):
+    """Shi-Tomasi single-scale grid detection (detectSingleScale,
+    `feature_extractor.cpp:288-440`). quality_level is relative to the
+    image's max response, like cv::goodFeaturesToTrack."""
+    resp = shi_tomasi_response(img)
+    th = quality_level * jnp.max(resp)
+    return grid_detect(resp, existing_kps, existing_valid, th,
+                       cell_size=cell_size, max_out=max_out)
+
+
+def detect_grid_fast(img, existing_kps, existing_valid, fast_th,
+                     cell_size: int, max_out: int):
+    """FAST-9 grid detection (detectGridFAST,
+    `feature_extractor.cpp:443-570`)."""
+    resp = fast_response(img, fast_th)
+    return grid_detect(resp, existing_kps, existing_valid, 0.0,
+                       cell_size=cell_size, max_out=max_out, refine=False)

@@ -12,7 +12,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from . import lie
+from . import lie_np as lie
 
 
 def umeyama_alignment(

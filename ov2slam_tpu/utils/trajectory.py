@@ -18,7 +18,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from . import lie
+from . import lie_np as lie
 
 
 @dataclasses.dataclass
@@ -41,10 +41,9 @@ class TrajectoryLogger:
         """Record a frame pose; `logger.hpp:104-129` addSE3Pose."""
         T_wc = np.asarray(T_wc, dtype=np.float64)
         if T_w_kf is None:
-            rel = np.array(lie.pose_identity(np.float64))
+            rel = lie.pose_identity()
         else:
-            rel = np.array(
-                lie.pose_relative(np.asarray(T_w_kf, np.float64), T_wc))
+            rel = lie.pose_relative(np.asarray(T_w_kf, np.float64), T_wc)
         self.frames.append(FramePose(time, T_wc, is_keyframe, kf_id, rel))
 
     def reset(self):

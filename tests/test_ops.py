@@ -1,0 +1,266 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ov2slam_tpu.core.image import (
+    build_pyramid, clahe, gaussian_blur, pyr_down, scharr_gradients,
+)
+from ov2slam_tpu.io.synthetic import generate_sequence, render_splats
+from ov2slam_tpu.ops.brief import describe_brief
+from ov2slam_tpu.ops.detect import (
+    detect_grid_fast, detect_single_scale, fast_response, grid_detect,
+    shi_tomasi_response,
+)
+from ov2slam_tpu.ops.klt import fb_klt_track, klt_track
+from ov2slam_tpu.ops.matching import (
+    hamming_matrix, knn_match_2nn, mutual_match, projection_match,
+)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return generate_sequence(n_frames=3, stereo=False, width=376, height=240,
+                             n_points=1500, seed=1, speed=0.05)
+
+
+# ------------------------------------------------------------------ image #
+
+def test_pyramid_shapes(seq):
+    img = jnp.asarray(seq.images_left[0])
+    pyr = build_pyramid(img, 4)
+    assert [p.shape for p in pyr] == [
+        (240, 376), (120, 188), (60, 94), (30, 47)]
+
+
+def test_gradients_on_ramp():
+    ramp = jnp.asarray(
+        np.arange(64, dtype=np.float32)[None, :].repeat(48, 0) * 2.0)
+    gx, gy = scharr_gradients(ramp)
+    # interior: exact slope 2 in x, 0 in y
+    np.testing.assert_allclose(np.array(gx[5:-5, 5:-5]), 2.0, atol=1e-4)
+    np.testing.assert_allclose(np.array(gy[5:-5, 5:-5]), 0.0, atol=1e-4)
+
+
+def test_clahe_improves_contrast():
+    rng = np.random.default_rng(0)
+    # low-contrast image: values squeezed into [100, 130]
+    img = rng.uniform(100, 130, size=(240, 376)).astype(np.float32)
+    out = np.array(clahe(jnp.asarray(img), clip_limit=3.0))
+    assert out.std() > img.std() * 1.5
+    assert out.min() >= 0 and out.max() <= 255
+
+
+# -------------------------------------------------------------- detection #
+
+def test_shi_tomasi_finds_corner():
+    img = np.full((96, 96), 20.0, np.float32)
+    img[40:, 40:] = 200.0  # a corner at (40, 40)
+    resp = np.array(shi_tomasi_response(jnp.asarray(img)))
+    py, px = np.unravel_index(resp.argmax(), resp.shape)
+    assert abs(px - 40) <= 2 and abs(py - 40) <= 2
+
+
+def test_fast_response_corner_not_edge():
+    img = np.full((64, 64), 50.0, np.float32)
+    img[30:34, 30:34] = 250.0  # small bright blob -> strong FAST corners
+    resp = np.array(fast_response(jnp.asarray(img), 20.0))
+    assert resp[28:36, 28:36].max() > 0
+    # pure horizontal edge has no FAST-9 corner
+    edge = np.full((64, 64), 50.0, np.float32)
+    edge[32:, :] = 250.0
+    resp_e = np.array(fast_response(jnp.asarray(edge), 20.0))
+    assert resp_e[5:-5, 5:-5].max() == 0.0
+
+
+def test_grid_detect_one_per_cell(seq):
+    img = jnp.asarray(seq.images_left[0])
+    no_kps = jnp.zeros((1, 2))
+    no_valid = jnp.zeros((1,), bool)
+    kps, scores, ok = detect_single_scale(
+        img, no_kps, no_valid, quality_level=0.01, cell_size=40, max_out=128)
+    kps, ok = np.array(kps), np.array(ok)
+    n = ok.sum()
+    assert n > 20  # textured synthetic image: most cells fire
+    # at most one kp per cell (bucket by rounded px: subpix refine can move
+    # a cell-edge detection by up to 0.5 px)
+    cells = set()
+    for p in kps[ok]:
+        c = (int(round(p[1])) // 40, int(round(p[0])) // 40)
+        assert c not in cells
+        cells.add(c)
+
+
+def test_grid_detect_respects_occupancy(seq):
+    img = jnp.asarray(seq.images_left[0])
+    no_valid = jnp.zeros((1,), bool)
+    kps0, _, ok0 = detect_single_scale(
+        img, jnp.zeros((1, 2)), no_valid, 0.01, cell_size=40, max_out=128)
+    # mark all detected as existing: nothing new should fire in those cells
+    kps1, _, ok1 = detect_single_scale(
+        img, kps0, ok0, 0.01, cell_size=40, max_out=128)
+    k0 = np.array(kps0)[np.array(ok0)]
+    k1 = np.array(kps1)[np.array(ok1)]
+    cells0 = {(int(p[1] // 40), int(p[0] // 40)) for p in k0}
+    cells1 = {(int(p[1] // 40), int(p[0] // 40)) for p in k1}
+    assert not (cells0 & cells1)
+
+
+def test_detect_grid_fast_runs(seq):
+    img = jnp.asarray(seq.images_left[0])
+    kps, scores, ok = detect_grid_fast(
+        img, jnp.zeros((1, 2)), jnp.zeros((1,), bool), 10.0,
+        cell_size=40, max_out=128)
+    assert int(np.array(ok).sum()) > 10
+
+
+# ------------------------------------------------------------------- KLT #
+
+def test_klt_tracks_pure_translation():
+    rng = np.random.default_rng(3)
+    base = rng.uniform(0, 255, size=(128, 160)).astype(np.float32)
+    base = np.array(gaussian_blur(jnp.asarray(base), 1.5, 3))
+    shift = (3.0, 2.0)  # (dx, dy) px
+    # shift via bilinear resample (subpixel-capable)
+    from ov2slam_tpu.core.camera import bilinear_sample
+    yy, xx = np.meshgrid(np.arange(128, dtype=np.float32),
+                         np.arange(160, dtype=np.float32), indexing="ij")
+    coords = jnp.asarray(np.stack([xx - shift[0], yy - shift[1]], -1))
+    cur = bilinear_sample(jnp.asarray(base), coords)
+
+    kps = jnp.asarray(
+        rng.uniform([20, 20], [140, 108], size=(64, 2)).astype(np.float32))
+    pyr_p = tuple(build_pyramid(jnp.asarray(base), 3))
+    pyr_c = tuple(build_pyramid(cur, 3))
+    tracked, status, err = klt_track(
+        pyr_p, pyr_c, kps, kps, jnp.ones(64, bool), win=9, iters=30)
+    tracked, status = np.array(tracked), np.array(status)
+    assert status.mean() > 0.9
+    flow = tracked[status] - np.array(kps)[status]
+    # random-noise texture is self-similar at coarse levels, so a few tracks
+    # may alias to a wrong minimum (the fb-check's job to kill); assert the
+    # population: median exact to centipixels, >85% within 0.1 px.
+    np.testing.assert_allclose(np.median(flow, 0), shift, atol=0.02)
+    close = np.abs(flow - np.array(shift)).max(axis=1) < 0.1
+    assert close.mean() > 0.85
+
+
+def test_klt_large_motion_needs_pyramid():
+    rng = np.random.default_rng(4)
+    base = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+    base = np.array(gaussian_blur(jnp.asarray(base), 2.0, 4))
+    shift = (14.0, -9.0)
+    from ov2slam_tpu.core.camera import bilinear_sample
+    yy, xx = np.meshgrid(np.arange(240, dtype=np.float32),
+                         np.arange(320, dtype=np.float32), indexing="ij")
+    cur = bilinear_sample(
+        jnp.asarray(base),
+        jnp.asarray(np.stack([xx - shift[0], yy - shift[1]], -1)))
+
+    kps = jnp.asarray(
+        rng.uniform([40, 40], [280, 200], size=(48, 2)).astype(np.float32))
+    pyr_p = tuple(build_pyramid(jnp.asarray(base), 4))
+    pyr_c = tuple(build_pyramid(cur, 4))
+    tracked, status, _ = klt_track(pyr_p, pyr_c, kps, kps,
+                                   jnp.ones(48, bool), win=9, iters=30)
+    flow = np.array(tracked)[np.array(status)] - np.array(kps)[np.array(status)]
+    assert np.array(status).mean() > 0.7
+    np.testing.assert_allclose(np.median(flow, 0), shift, atol=0.1)
+
+
+def test_fb_klt_rejects_occluded():
+    """Forward-backward check kills tracks in a region that changed."""
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 255, size=(128, 160)).astype(np.float32)
+    base = np.array(gaussian_blur(jnp.asarray(base), 1.5, 3))
+    cur = base.copy()
+    cur[:, 80:] = rng.uniform(0, 255, size=(128, 80)).astype(np.float32)
+
+    kps_ok = rng.uniform([15, 15], [70, 110], size=(24, 2))
+    kps_bad = rng.uniform([95, 15], [145, 110], size=(24, 2))
+    kps = jnp.asarray(np.concatenate([kps_ok, kps_bad]).astype(np.float32))
+    pyr_p = tuple(build_pyramid(jnp.asarray(base), 3))
+    pyr_c = tuple(build_pyramid(jnp.asarray(cur), 3))
+    _, status = fb_klt_track(pyr_p, pyr_c, kps, kps, jnp.ones(48, bool),
+                             win=9, iters=30, max_fb_dist=0.5)
+    status = np.array(status)
+    assert status[:24].mean() > 0.8
+    assert status[24:].mean() < 0.3
+
+
+def test_klt_on_synthetic_sequence(seq):
+    """Track detected corners across a real rendered motion; compare with
+    ground-truth reprojection flow."""
+    img0 = jnp.asarray(seq.images_left[0])
+    img1 = jnp.asarray(seq.images_left[1])
+    kps, _, ok = detect_single_scale(
+        img0, jnp.zeros((1, 2)), jnp.zeros((1,), bool), 0.02,
+        cell_size=30, max_out=128)
+    pyr0 = tuple(build_pyramid(img0, 4))
+    pyr1 = tuple(build_pyramid(img1, 4))
+    tracked, status = fb_klt_track(pyr0, pyr1, kps, kps, ok,
+                                   win=9, iters=30, max_fb_dist=1.0)
+    assert int(np.array(status).sum()) > 0.5 * int(np.array(ok).sum())
+
+
+# ------------------------------------------------------------ BRIEF/match #
+
+def test_brief_stable_under_small_shift():
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 255, size=(128, 160)).astype(np.float32)
+    img = np.array(gaussian_blur(jnp.asarray(img), 2.0, 4))
+    kps = jnp.asarray(
+        rng.uniform([25, 25], [135, 103], size=(32, 2)).astype(np.float32))
+    d0, ok0 = describe_brief(jnp.asarray(img), kps, jnp.ones(32, bool))
+    d1, ok1 = describe_brief(jnp.asarray(img), kps + 0.4, jnp.ones(32, bool))
+    assert np.array(ok0).all()
+    dist = np.diag(np.array(hamming_matrix(d0, d1)))
+    assert dist.mean() < 40  # small shift: descriptors stay close
+    # random pairs should be near 128 (half the bits)
+    off = np.array(hamming_matrix(d0, d1))
+    np.fill_diagonal(off, 128)
+    assert off.mean() > 90
+
+
+def test_knn_match_identity():
+    rng = np.random.default_rng(7)
+    img = np.array(gaussian_blur(
+        jnp.asarray(rng.uniform(0, 255, size=(128, 160)).astype(np.float32)),
+        2.0, 4))
+    kps = jnp.asarray(
+        rng.uniform([25, 25], [135, 103], size=(48, 2)).astype(np.float32))
+    d, ok = describe_brief(jnp.asarray(img), kps, jnp.ones(48, bool))
+    perm = rng.permutation(48)
+    idx, dist = knn_match_2nn(d, ok, d[perm], ok[perm],
+                              max_dist_bits=50, ratio=0.85)
+    idx = np.array(idx)
+    matched = idx >= 0
+    assert matched.mean() > 0.9
+    # matches must invert the permutation
+    assert (perm[idx[matched]] == np.arange(48)[matched]).all()
+
+
+def test_projection_match_gates_by_distance():
+    rng = np.random.default_rng(8)
+    img = np.array(gaussian_blur(
+        jnp.asarray(rng.uniform(0, 255, size=(128, 160)).astype(np.float32)),
+        2.0, 4))
+    kps = jnp.asarray(
+        rng.uniform([25, 25], [135, 103], size=(32, 2)).astype(np.float32))
+    d, ok = describe_brief(jnp.asarray(img), kps, jnp.ones(32, bool))
+    # projections 1px off their keypoints: matched; 30px off: rejected
+    idx_near, _ = projection_match(kps + 1.0, ok, d, kps, ok, d, 2.0, 50)
+    idx_far, _ = projection_match(kps + 30.0, ok, d, kps, ok, d, 2.0, 50)
+    assert (np.array(idx_near) == np.arange(32)).mean() > 0.9
+    assert (np.array(idx_far) < 0).mean() > 0.9
+
+
+def test_mutual_match():
+    rng = np.random.default_rng(9)
+    img = np.array(gaussian_blur(
+        jnp.asarray(rng.uniform(0, 255, size=(128, 160)).astype(np.float32)),
+        2.0, 4))
+    kps = jnp.asarray(
+        rng.uniform([25, 25], [135, 103], size=(24, 2)).astype(np.float32))
+    d, ok = describe_brief(jnp.asarray(img), kps, jnp.ones(24, bool))
+    idx, _ = mutual_match(d, ok, d, ok, max_dist_bits=10)
+    np.testing.assert_array_equal(np.array(idx), np.arange(24))
