@@ -1,0 +1,397 @@
+"""Fixed-capacity SoA map state — the TPU-native replacement for the
+reference's pointer-graph map (`Frame`/`MapPoint`/`MapManager`,
+`src/{frame,map_point,map_manager}.cpp`).
+
+Architecture: the map is structure-of-arrays with validity masks instead of
+mutex-guarded hash maps. *Bookkeeping* (keyframe insertion, observation
+add/remove, landmark merge, covisibility counting — all pointer-chasing,
+kHz-rate, tiny) runs on the host in vectorized numpy; *numerics* (BA,
+matching, triangulation — the FLOPs) read padded, device-ready problem
+arrays built here. This split replaces the reference's five map mutexes
+(`map_manager.hpp:125-128`): stages exchange immutable array snapshots, so
+the front-end never blocks on BA.
+
+Capacities are static (from `SlamConfig`), so every downstream jit sees
+stable shapes: no recompilation as the map grows.
+
+Reference parity notes:
+- observation tables mirror `Frame::mapkps_` (`frame.hpp:202`),
+- the per-landmark observer list mirrors `MapPoint::set_kfids_`
+  (`map_point.hpp:80`),
+- covisibility scores mirror `Frame::map_covkfs_` (`frame.hpp:229`),
+  computed by bincount over observer lists instead of per-insert updates
+  (`map_manager.cpp:117-193` updateFrameCovisibility),
+- landmark merge mirrors `MapManager::mergeMapPoints`
+  (`map_manager.cpp:801-882`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils.config import SlamConfig
+
+MAX_OBS_PER_LM = 96  # observer-list capacity; reference is unbounded but
+                     # local BA only consumes covisibility-windowed KFs
+
+
+@dataclasses.dataclass
+class BAProblem:
+    """Padded, device-ready bundle-adjustment problem arrays."""
+
+    kf_ids: np.ndarray          # (Kw,) int32 (-1 pad)
+    kf_poses: np.ndarray        # (Kw, 7) f32 T_wc
+    kf_fixed: np.ndarray        # (Kw,) bool — gauge-fixed poses
+    lm_ids: np.ndarray          # (Lw,) int32 (-1 pad)
+    lm_pos: np.ndarray          # (Lw, 3) f32
+    obs_kf: np.ndarray          # (O,) int32 index into kf_ids (-1 pad)
+    obs_lm: np.ndarray          # (O,) int32 index into lm_ids
+    obs_px: np.ndarray          # (O, 2) f32 undistorted pixels
+    obs_cam: np.ndarray         # (O,) int8: 0 = left cam, 1 = right cam
+    obs_valid: np.ndarray       # (O,) bool
+
+    @property
+    def n_obs(self) -> int:
+        return int(self.obs_valid.sum())
+
+
+class MapStore:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        K = cfg.max_keyframes
+        L = cfg.max_landmarks
+        N = cfg.max_kps
+
+        self.K, self.L, self.N = K, L, N
+
+        # keyframes
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_times = np.zeros(K, np.float64)
+        self.kf_poses = np.zeros((K, 7), np.float32)
+        self.kf_poses[:, 0] = 1.0
+
+        # per-KF observations
+        self.obs_lmid = np.full((K, N), -1, np.int32)
+        self.obs_px = np.zeros((K, N, 2), np.float32)       # undistorted
+        self.obs_rpx = np.zeros((K, N, 2), np.float32)      # right-cam px
+        self.obs_is_stereo = np.zeros((K, N), bool)
+        self.obs_desc = np.zeros((K, N, 8), np.uint32)
+
+        # landmarks
+        self.lm_valid = np.zeros(L, bool)
+        self.lm_is3d = np.zeros(L, bool)
+        self.lm_pos = np.zeros((L, 3), np.float32)
+        self.lm_desc = np.zeros((L, 8), np.uint32)
+        self.lm_anchor_kf = np.full(L, -1, np.int32)
+        # observer lists: kf ids observing each landmark (-1 empty)
+        self.lm_obs_kf = np.full((L, MAX_OBS_PER_LM), -1, np.int32)
+        # slot of the observation within the KF's obs table
+        self.lm_obs_slot = np.full((L, MAX_OBS_PER_LM), -1, np.int32)
+
+        self._next_kf = 0
+        self._next_lm = 0
+
+    # ----------------------------------------------------------------- #
+    # landmarks
+    # ----------------------------------------------------------------- #
+
+    def new_landmarks(self, n: int) -> np.ndarray:
+        """Allocate n fresh (2D, untriangulated) landmark ids."""
+        if self._next_lm + n > self.L:
+            raise RuntimeError("landmark capacity exceeded")
+        ids = np.arange(self._next_lm, self._next_lm + n, dtype=np.int32)
+        self._next_lm += n
+        self.lm_valid[ids] = True
+        self.lm_is3d[ids] = False
+        return ids
+
+    def set_landmark_positions(self, ids: np.ndarray, pos: np.ndarray):
+        """Triangulation write-back: promote to 3D
+        (`MapManager::updateMapPoint`, `map_manager.cpp:715-766`)."""
+        ids = np.asarray(ids, np.int32)
+        live = self.lm_valid[ids]
+        self.lm_pos[ids[live]] = pos[live]
+        self.lm_is3d[ids[live]] = True
+
+    def remove_landmark(self, lmid: int):
+        """Full removal incl. all observations
+        (`MapManager::removeMapPoint`, `map_manager.cpp:947-1009`)."""
+        if not self.lm_valid[lmid]:
+            return
+        for k, slot in zip(self.lm_obs_kf[lmid], self.lm_obs_slot[lmid]):
+            if k >= 0 and self.kf_valid[k] and self.obs_lmid[k, slot] == lmid:
+                self.obs_lmid[k, slot] = -1
+        self.lm_valid[lmid] = False
+        self.lm_is3d[lmid] = False
+        self.lm_obs_kf[lmid] = -1
+        self.lm_obs_slot[lmid] = -1
+
+    def _lm_add_observer(self, lmid: int, kfid: int, slot: int) -> bool:
+        row = self.lm_obs_kf[lmid]
+        free = np.nonzero(row < 0)[0]
+        if len(free) == 0:
+            return False
+        self.lm_obs_kf[lmid, free[0]] = kfid
+        self.lm_obs_slot[lmid, free[0]] = slot
+        return True
+
+    def _lm_remove_observer(self, lmid: int, kfid: int):
+        sel = self.lm_obs_kf[lmid] == kfid
+        self.lm_obs_kf[lmid, sel] = -1
+        self.lm_obs_slot[lmid, sel] = -1
+
+    def landmark_observers(self, lmid: int) -> np.ndarray:
+        obs = self.lm_obs_kf[lmid]
+        return obs[obs >= 0]
+
+    def merge_landmarks(self, keep: int, drop: int):
+        """Loop-closure landmark fusion (`mergeMapPoints`,
+        `map_manager.cpp:801-882`): every observation of ``drop`` is
+        rewritten to ``keep`` (unless that KF already observes ``keep``),
+        then ``drop`` is removed."""
+        if not (self.lm_valid[keep] and self.lm_valid[drop]):
+            return
+        for k, slot in zip(self.lm_obs_kf[drop].copy(),
+                           self.lm_obs_slot[drop].copy()):
+            if k < 0 or not self.kf_valid[k]:
+                continue
+            if self.obs_lmid[k, slot] != drop:
+                continue
+            already = (self.lm_obs_kf[keep] == k).any()
+            if already:
+                self.obs_lmid[k, slot] = -1
+            else:
+                self.obs_lmid[k, slot] = keep
+                self._lm_add_observer(keep, k, slot)
+        self.lm_valid[drop] = False
+        self.lm_is3d[drop] = False
+        self.lm_obs_kf[drop] = -1
+        self.lm_obs_slot[drop] = -1
+
+    # ----------------------------------------------------------------- #
+    # keyframes
+    # ----------------------------------------------------------------- #
+
+    def add_keyframe(
+        self,
+        time: float,
+        T_wc: np.ndarray,
+        lmids: np.ndarray,        # (N,) int32, -1 for empty slots
+        px_und: np.ndarray,       # (N, 2) undistorted pixels
+        desc: np.ndarray,         # (N, 8) uint32
+        is_stereo: Optional[np.ndarray] = None,
+        rpx: Optional[np.ndarray] = None,
+    ) -> int:
+        """Insert a keyframe with its observation table
+        (`MapManager::addKeyframe`, `map_manager.cpp:621-633`)."""
+        if self._next_kf >= self.K:
+            raise RuntimeError("keyframe capacity exceeded")
+        kfid = self._next_kf
+        self._next_kf += 1
+
+        lmids = np.asarray(lmids, np.int32)
+        self.kf_valid[kfid] = True
+        self.kf_times[kfid] = time
+        self.kf_poses[kfid] = np.asarray(T_wc, np.float32)
+        self.obs_lmid[kfid] = lmids
+        self.obs_px[kfid] = px_und
+        self.obs_desc[kfid] = desc
+        if is_stereo is not None:
+            self.obs_is_stereo[kfid] = is_stereo
+            self.obs_rpx[kfid] = rpx if rpx is not None else 0.0
+        else:
+            self.obs_is_stereo[kfid] = False
+
+        for slot in np.nonzero(lmids >= 0)[0]:
+            lmid = lmids[slot]
+            if not self.lm_valid[lmid]:
+                self.obs_lmid[kfid, slot] = -1
+                continue
+            if not self._lm_add_observer(lmid, kfid, slot):
+                self.obs_lmid[kfid, slot] = -1  # observer list full
+                continue
+            if self.lm_anchor_kf[lmid] < 0:
+                self.lm_anchor_kf[lmid] = kfid
+            self.lm_desc[lmid] = desc[slot]
+        return kfid
+
+    def remove_keyframe(self, kfid: int):
+        """KF culling (`MapManager::removeKeyframe`,
+        `map_manager.cpp:885-945`)."""
+        if not self.kf_valid[kfid]:
+            return
+        for slot in np.nonzero(self.obs_lmid[kfid] >= 0)[0]:
+            self._lm_remove_observer(int(self.obs_lmid[kfid, slot]), kfid)
+        self.obs_lmid[kfid] = -1
+        self.kf_valid[kfid] = False
+
+    def remove_observation(self, kfid: int, lmid: int):
+        """(`MapManager::removeMapPointObs`, `map_manager.cpp:1012-1052`)."""
+        sel = (self.lm_obs_kf[lmid] == kfid)
+        for i in np.nonzero(sel)[0]:
+            slot = self.lm_obs_slot[lmid, i]
+            if self.obs_lmid[kfid, slot] == lmid:
+                self.obs_lmid[kfid, slot] = -1
+        self.lm_obs_kf[lmid, sel] = -1
+        self.lm_obs_slot[lmid, sel] = -1
+
+    def kf_landmark_ids(self, kfid: int, only_3d: bool = False) -> np.ndarray:
+        ids = self.obs_lmid[kfid]
+        ids = ids[ids >= 0]
+        ids = ids[self.lm_valid[ids]]
+        if only_3d:
+            ids = ids[self.lm_is3d[ids]]
+        return ids
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    @property
+    def n_landmarks_3d(self) -> int:
+        return int((self.lm_valid & self.lm_is3d).sum())
+
+    # ----------------------------------------------------------------- #
+    # covisibility
+    # ----------------------------------------------------------------- #
+
+    def covisibility_counts(self, kfid: int) -> np.ndarray:
+        """(K,) number of 3D landmarks shared with ``kfid``
+        (score map of `updateFrameCovisibility`, `map_manager.cpp:117-193`)."""
+        lmids = self.kf_landmark_ids(kfid, only_3d=True)
+        if len(lmids) == 0:
+            return np.zeros(self.K, np.int32)
+        observers = self.lm_obs_kf[lmids].ravel()
+        observers = observers[observers >= 0]
+        counts = np.bincount(observers, minlength=self.K).astype(np.int32)
+        counts[kfid] = 0
+        counts[~self.kf_valid] = 0
+        return counts
+
+    def covisible_kfs(self, kfid: int, min_score: int = 1,
+                      max_n: Optional[int] = None) -> np.ndarray:
+        counts = self.covisibility_counts(kfid)
+        ids = np.nonzero(counts >= min_score)[0]
+        order = np.argsort(-counts[ids], kind="stable")
+        ids = ids[order]
+        if max_n is not None:
+            ids = ids[:max_n]
+        return ids.astype(np.int32)
+
+    # ----------------------------------------------------------------- #
+    # BA problem building
+    # ----------------------------------------------------------------- #
+
+    def build_ba_problem(
+        self,
+        window_kf_ids: Sequence[int],
+        fixed_kf_ids: Sequence[int],
+        max_kfs: int,
+        max_obs: int,
+        min_obs_per_lm: int = 2,
+    ) -> BAProblem:
+        """Collect the observations of a keyframe window into padded arrays
+        (the array-program analogue of localBA's problem construction,
+        `optimizer.cpp:74-407`).
+
+        Fixed KFs contribute observations but their poses are gauge-locked.
+        Only 3D landmarks observed >= min_obs_per_lm times inside the
+        window enter the problem; others are ignored (the reference adds
+        them as const or skips, `optimizer.cpp:207-290`).
+        """
+        window = [k for k in window_kf_ids if self.kf_valid[k]][:max_kfs]
+        kf_ids = np.full(max_kfs, -1, np.int32)
+        kf_ids[: len(window)] = window
+        kf_index = {k: i for i, k in enumerate(window)}
+        fixed = np.zeros(max_kfs, bool)
+        for k in fixed_kf_ids:
+            if k in kf_index:
+                fixed[kf_index[k]] = True
+
+        # landmarks observed in the window
+        all_lm: Dict[int, int] = {}
+        obs_rows: List[Tuple[int, int, float, float, float, bool]] = []
+        for k in window:
+            ki = kf_index[k]
+            slots = np.nonzero(self.obs_lmid[k] >= 0)[0]
+            for slot in slots:
+                lmid = int(self.obs_lmid[k, slot])
+                if not (self.lm_valid[lmid] and self.lm_is3d[lmid]):
+                    continue
+                all_lm.setdefault(lmid, 0)
+                all_lm[lmid] += 1
+
+        lm_sel = [l for l, c in all_lm.items() if c >= min_obs_per_lm]
+        lm_index = {l: i for i, l in enumerate(lm_sel)}
+
+        for k in window:
+            ki = kf_index[k]
+            slots = np.nonzero(self.obs_lmid[k] >= 0)[0]
+            for slot in slots:
+                lmid = int(self.obs_lmid[k, slot])
+                if lmid not in lm_index:
+                    continue
+                li = lm_index[lmid]
+                obs_rows.append((
+                    ki, li,
+                    float(self.obs_px[k, slot, 0]),
+                    float(self.obs_px[k, slot, 1]), 0))
+                if self.obs_is_stereo[k, slot]:
+                    # stereo measurement = an extra residual row in the
+                    # right camera (RightCamKSE3XYZ factors,
+                    # `se3left_parametrization.hpp:138-170`)
+                    obs_rows.append((
+                        ki, li,
+                        float(self.obs_rpx[k, slot, 0]),
+                        float(self.obs_rpx[k, slot, 1]), 1))
+
+        obs_rows = obs_rows[:max_obs]
+        O = max_obs
+        obs_kf = np.full(O, -1, np.int32)
+        obs_lm = np.full(O, -1, np.int32)
+        obs_px = np.zeros((O, 2), np.float32)
+        obs_cam = np.zeros(O, np.int8)
+        for i, (ki, li, u, v, cam) in enumerate(obs_rows):
+            obs_kf[i] = ki
+            obs_lm[i] = li
+            obs_px[i] = (u, v)
+            obs_cam[i] = cam
+
+        Lw = len(lm_sel)
+        lm_ids = np.full(max(Lw, 1), -1, np.int32)
+        lm_pos = np.zeros((max(Lw, 1), 3), np.float32)
+        if Lw:
+            lm_ids[:Lw] = lm_sel
+            lm_pos[:Lw] = self.lm_pos[lm_sel]
+
+        return BAProblem(
+            kf_ids=kf_ids,
+            kf_poses=self.kf_poses[np.maximum(kf_ids, 0)].copy(),
+            kf_fixed=fixed,
+            lm_ids=lm_ids,
+            lm_pos=lm_pos,
+            obs_kf=obs_kf,
+            obs_lm=obs_lm,
+            obs_px=obs_px,
+            obs_cam=obs_cam,
+            obs_valid=obs_kf >= 0,
+        )
+
+    def apply_ba_result(self, problem: BAProblem, new_kf_poses: np.ndarray,
+                        new_lm_pos: np.ndarray,
+                        lm_keep: Optional[np.ndarray] = None):
+        """Write back optimized poses/landmarks (`optimizer.cpp:737-896`);
+        optionally cull landmarks flagged bad by the solver."""
+        for i, k in enumerate(problem.kf_ids):
+            if k >= 0 and not problem.kf_fixed[i] and self.kf_valid[k]:
+                self.kf_poses[k] = new_kf_poses[i]
+        for i, l in enumerate(problem.lm_ids):
+            if l < 0 or not self.lm_valid[l]:
+                continue
+            if lm_keep is not None and not lm_keep[i]:
+                self.remove_landmark(int(l))
+            else:
+                self.lm_pos[l] = new_lm_pos[i]

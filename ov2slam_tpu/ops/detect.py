@@ -25,7 +25,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..core.image import _conv2d_same, scharr_gradients
+from ..core.image import box_filter, scharr_gradients
 
 
 # --------------------------------------------------------------------------
@@ -35,10 +35,9 @@ from ..core.image import _conv2d_same, scharr_gradients
 def shi_tomasi_response(img, block: int = 3):
     """Min-eigenvalue of the structure tensor (cv::cornerMinEigenVal)."""
     gx, gy = scharr_gradients(img)
-    ones = jnp.ones((block, block), img.dtype) / (block * block)
-    gxx = _conv2d_same(gx * gx, ones)
-    gxy = _conv2d_same(gx * gy, ones)
-    gyy = _conv2d_same(gy * gy, ones)
+    gxx = box_filter(gx * gx, block)
+    gxy = box_filter(gx * gy, block)
+    gyy = box_filter(gy * gy, block)
     tr = gxx + gyy
     det = gxx * gyy - gxy * gxy
     return (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / 2.0
