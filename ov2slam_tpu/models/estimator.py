@@ -1,0 +1,113 @@
+"""Estimator: local bundle adjustment + keyframe filtering.
+
+TPU-native replacement for `Estimator` (`src/estimator.cpp`): drives
+windowed BA over the covisibility graph (`applyLocalBA`, `:67-98`) and
+culls redundant keyframes (`mapFiltering`, `:101-183`).
+
+The reference preempts a running BA when a new KF arrives
+(`signalStopLocalBA`); here BA is a bounded jitted solve (fixed iterations)
+so preemption becomes "skip if a newer KF is already queued" at the
+pipeline level.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..solvers.ba import BAParams, ba_solve_two_pass, make_ba_params
+from ..utils.config import SlamConfig
+from ..utils.profiler import Profiler
+
+import jax.numpy as jnp
+
+
+class Estimator:
+    def __init__(self, cfg: SlamConfig, cam_l, cam_r, map_store):
+        self.cfg = cfg
+        self.map = map_store
+        self.params = make_ba_params(cam_l, cam_r)
+        self.prof = Profiler.instance()
+        self.lc_kf_id = -1   # loop-closure-protected KF (`estimator.cpp:129-131`)
+
+    # ------------------------------------------------------------------ #
+
+    def local_ba(self, kfid: int) -> int:
+        """Windowed BA around ``kfid`` (`Optimizer::localBA`,
+        `optimizer.cpp:34-897`). Returns the number of observations used."""
+        cfg = self.cfg
+        m = self.map
+        if m.n_keyframes < 3:
+            return 0
+        self.prof.start("3.LocalBA")
+
+        cov = m.covisible_kfs(kfid, min_score=cfg.min_cov_score,
+                              max_n=cfg.local_ba_max_kfs - 1)
+        if len(cov) == 0:
+            cov = m.covisible_kfs(kfid, min_score=1,
+                                  max_n=cfg.local_ba_max_kfs - 1)
+        window = [kfid] + [int(k) for k in cov]
+
+        # gauge: fix the two oldest KFs in the window (mono needs >= 2 for
+        # scale; `optimizer.cpp:396-407`), or KF 0 if present
+        by_age = sorted(window)
+        n_fix = 1 if cfg.stereo else 2
+        fixed = by_age[:n_fix]
+        if 0 in window:
+            fixed = list(set(fixed) | {0})
+
+        prob = m.build_ba_problem(
+            window, fixed, max_kfs=cfg.local_ba_max_kfs,
+            max_obs=cfg.local_ba_max_obs)
+        if prob.n_obs < 20:
+            self.prof.stop("3.LocalBA")
+            return 0
+
+        poses, points, inlier, cost = ba_solve_two_pass(
+            jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
+            jnp.asarray(prob.lm_pos),
+            jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
+            jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
+            jnp.asarray(prob.obs_valid), self.params,
+            robust_th=cfg.robust_mono_th,
+            iters_robust=cfg.ba_iters,
+            iters_l2=3 if cfg.apply_l2_after_robust else 0)
+
+        inlier = np.array(inlier)
+        # landmark culling: drop landmarks whose observations are mostly
+        # outliers (`optimizer.cpp:805-882`)
+        lm_ok = np.ones(len(prob.lm_ids), bool)
+        obs_lm = prob.obs_lm
+        vv = prob.obs_valid
+        for i in range(len(prob.lm_ids)):
+            if prob.lm_ids[i] < 0:
+                continue
+            sel = vv & (obs_lm == i)
+            n = sel.sum()
+            if n and inlier[sel].sum() < max(2, 0.5 * n):
+                lm_ok[i] = False
+
+        m.apply_ba_result(prob, np.array(poses), np.array(points), lm_ok)
+        self.prof.stop("3.LocalBA")
+        return int(prob.n_obs)
+
+    # ------------------------------------------------------------------ #
+
+    def map_filtering(self, kfid: int):
+        """Cull redundant covisible KFs: >=95% of their 3D landmarks seen
+        >=4 times elsewhere (`mapFiltering`, `estimator.cpp:101-183`)."""
+        cfg = self.cfg
+        m = self.map
+        if cfg.kf_filtering_ratio >= 1.0 or m.n_keyframes < 20:
+            return
+        for k in m.covisible_kfs(kfid, min_score=cfg.min_cov_score):
+            k = int(k)
+            if k == 0 or k == kfid or k == self.lc_kf_id:
+                continue
+            if k >= kfid - 3:   # keep the most recent KFs
+                continue
+            lmids = m.kf_landmark_ids(k, only_3d=True)
+            if len(lmids) == 0:
+                continue
+            n_obs = np.array([(m.lm_obs_kf[l] >= 0).sum() for l in lmids])
+            if (n_obs >= 4).mean() > cfg.kf_filtering_ratio:
+                m.remove_keyframe(k)

@@ -1,0 +1,473 @@
+"""Visual front-end: per-frame tracking state machine.
+
+TPU-native replacement for `VisualFrontEnd` (`src/visual_front_end.cpp`):
+CLAHE+pyramid preprocessing (`:1143-1177`), constant-velocity motion model
+(`visual_front_end.hpp:38-90`), prior-guided forward-backward KLT
+(`:132-275`), epipolar 2d-2d outlier gating (`:446-656`), P3P + motion-only
+PnP pose computation (`:659-851`), monocular initialization (`:855-984`),
+and keyframe-need heuristics (`:986-1061`).
+
+State layout: the current frame's keypoints live in fixed-capacity slot
+arrays (px, undistorted px, landmark ids, valid mask) — the array analogue
+of `Frame::mapkps_`. Device work (pyramids, KLT, RANSAC, PnP) is dispatched
+as a small number of jitted calls per frame; slot bookkeeping is host
+numpy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.image import build_pyramid, clahe
+from ..geometry.essential import essential_from_pose, relative_pose_ransac, sampson_dist_sq
+from ..geometry.pnp import p3p_ransac
+from ..geometry.triangulation import triangulate_midpoint
+from ..ops.brief import describe_brief
+from ..ops.detect import detect_grid_fast, detect_single_scale
+from ..ops.klt import fb_klt_track
+from ..solvers.pnp_refine import pnp_refine
+from ..utils import lie_np
+from ..utils.config import SlamConfig
+from ..utils.profiler import Profiler
+
+
+class MotionModel:
+    """Constant-velocity SE3 prior (`visual_front_end.hpp:38-90`)."""
+
+    def __init__(self):
+        self.prev_T = None
+        self.prev_time = None
+        self.rel = lie_np.pose_identity()
+        self.rel_dt = 0.0
+
+    def predict(self, time: float) -> Optional[np.ndarray]:
+        if self.prev_T is None:
+            return None
+        if self.rel_dt <= 0:
+            return self.prev_T.copy()
+        dt = time - self.prev_time
+        xi = lie_np.so3_log(self.rel[:4])
+        scale = dt / self.rel_dt
+        step = np.concatenate([lie_np.so3_exp(xi * scale),
+                               self.rel[4:] * scale])
+        return lie_np.pose_compose(self.prev_T, step)
+
+    def update(self, T_wc: np.ndarray, time: float):
+        if self.prev_T is not None and time > self.prev_time:
+            self.rel = lie_np.pose_relative(self.prev_T, T_wc)
+            self.rel_dt = time - self.prev_time
+        self.prev_T = T_wc.copy()
+        self.prev_time = time
+
+    def reset(self):
+        self.__init__()
+
+
+@dataclasses.dataclass
+class FrameState:
+    """Current-frame keypoint slots (fixed capacity N)."""
+
+    px: np.ndarray        # (N, 2) raw pixels
+    px_und: np.ndarray    # (N, 2) undistorted pixels
+    lmids: np.ndarray     # (N,) int32 (-1 = empty)
+    valid: np.ndarray     # (N,) bool
+    T_wc: np.ndarray      # (7,)
+    time: float = 0.0
+    kf_id: int = -1       # reference keyframe
+
+    @classmethod
+    def empty(cls, n: int):
+        return cls(
+            px=np.zeros((n, 2), np.float32),
+            px_und=np.zeros((n, 2), np.float32),
+            lmids=np.full(n, -1, np.int32),
+            valid=np.zeros(n, bool),
+            T_wc=lie_np.pose_identity().astype(np.float32),
+        )
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+
+class FrontEnd:
+    def __init__(self, cfg: SlamConfig, cam_l: Camera, map_store):
+        self.cfg = cfg
+        self.cam = cam_l
+        self.map = map_store
+        self.motion = MotionModel()
+        self.frame = FrameState.empty(cfg.max_kps)
+        self.prev_pyr = None
+        self.cur_pyr = None
+        self.initialized = cfg.stereo   # mono needs bootstrapping
+        self.init_kf_px: Optional[np.ndarray] = None
+        self.prof = Profiler.instance()
+        self._rng = jax.random.PRNGKey(0)
+        self._quality = cfg.max_quality
+        self._fast_th = float(cfg.fast_th)
+        self._frames_since_kf = 0
+
+    # ------------------------------------------------------------------ #
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def preprocess(self, img: np.ndarray) -> None:
+        """CLAHE + pyramid; swaps prev/cur (`preprocessImage`,
+        `visual_front_end.cpp:1143-1177`)."""
+        im = jnp.asarray(img, jnp.float32)
+        if self.cfg.use_clahe:
+            im = clahe(im, self.cfg.clahe_val)
+        self.prev_pyr = self.cur_pyr
+        self.cur_pyr = tuple(build_pyramid(im, self.cfg.klt_levels))
+
+    # ------------------------------------------------------------------ #
+
+    def track_frame(self, img: np.ndarray, time: float) -> bool:
+        """Process one (left/mono) frame; returns True if it should become
+        a keyframe (`visualTracking`/`trackMono`,
+        `visual_front_end.cpp:40-128`)."""
+        cfg = self.cfg
+        f = self.frame
+        self.prof.start("0.Full-Front_End")
+        self.preprocess(img)
+        f.time = time
+
+        if self.map.n_keyframes == 0:
+            # bootstrap: first frame is always a keyframe at identity
+            f.T_wc = lie_np.pose_identity().astype(np.float32)
+            self.motion.update(f.T_wc.astype(np.float64), time)
+            self.prof.stop("0.Full-Front_End")
+            self._frames_since_kf = 0
+            return True
+
+        T_pred = self.motion.predict(time)
+        if T_pred is None:
+            T_pred = f.T_wc.astype(np.float64)
+
+        self.klt_tracking(T_pred)
+
+        if cfg.do_epipolar:
+            self.epipolar_filtering()
+
+        is_ok = self.compute_pose(T_pred)
+        if not is_ok and not self.initialized:
+            # mono init failure handling happens at the manager level
+            pass
+
+        self.motion.update(f.T_wc.astype(np.float64), time)
+        self._frames_since_kf += 1
+
+        is_kf = self.check_new_kf()
+        self.prof.stop("0.Full-Front_End")
+        if is_kf:
+            self._frames_since_kf = 0
+        return is_kf
+
+    # ------------------------------------------------------------------ #
+
+    def klt_tracking(self, T_pred: np.ndarray):
+        """Prior-guided fb-KLT of current keypoints (`kltTracking`,
+        `visual_front_end.cpp:132-275`)."""
+        cfg = self.cfg
+        f = self.frame
+        if self.prev_pyr is None or f.n_valid == 0:
+            return
+        self.prof.start("1.FE_KLT")
+
+        # priors: project 3D landmarks with the predicted pose
+        priors = f.px.copy()
+        if cfg.klt_use_prior:
+            lm_ok = (f.lmids >= 0) & f.valid
+            ids = f.lmids[lm_ok]
+            is3d = np.zeros_like(lm_ok)
+            is3d[lm_ok] = self.map.lm_is3d[ids] & self.map.lm_valid[ids]
+            if is3d.any():
+                pts = self.map.lm_pos[f.lmids[is3d]]
+                T_cw = lie_np.pose_inverse(T_pred)
+                pc = lie_np.pose_apply(T_cw, pts.astype(np.float64))
+                z = np.maximum(pc[:, 2], 1e-3)
+                proj = np.stack([
+                    pc[:, 0] / z * float(self.cam.fx) + float(self.cam.cx),
+                    pc[:, 1] / z * float(self.cam.fy) + float(self.cam.cy),
+                ], -1)
+                inb = ((proj[:, 0] >= 0) & (proj[:, 0] < self.cam.width)
+                       & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height)
+                       & (pc[:, 2] > 0.1))
+                rows = np.nonzero(is3d)[0]
+                priors[rows[inb]] = proj[inb].astype(np.float32)
+
+        tracked, status = fb_klt_track(
+            self.prev_pyr, self.cur_pyr,
+            jnp.asarray(f.px), jnp.asarray(priors), jnp.asarray(f.valid),
+            win=cfg.klt_win_size, iters=cfg.max_iter,
+            eps=cfg.max_px_precision, max_err=cfg.klt_err,
+            max_fb_dist=cfg.max_fbklt_dist)
+        tracked = np.array(tracked)
+        status = np.array(status)
+
+        f.px = np.where(status[:, None], tracked, f.px).astype(np.float32)
+        f.valid &= status
+        # undistort tracked points
+        if f.valid.any():
+            und = np.array(self.cam.undistort_px(jnp.asarray(f.px[f.valid])))
+            f.px_und[f.valid] = und
+        self.prof.stop("1.FE_KLT")
+
+    # ------------------------------------------------------------------ #
+
+    def epipolar_filtering(self):
+        """5-pt-equivalent essential RANSAC outlier gate vs the reference
+        keyframe (`epipolar2d2dFiltering`, `visual_front_end.cpp:446-656`).
+
+        Uses the previous-KF observations of the same landmarks."""
+        cfg = self.cfg
+        f = self.frame
+        kfid = f.kf_id
+        if kfid < 0 or not self.map.kf_valid[kfid]:
+            return
+        sel = np.nonzero(f.valid & (f.lmids >= 0))[0]
+        if len(sel) < 16:
+            return
+        # KF pixel of each tracked landmark
+        kf_slots = {int(l): s for s, l in enumerate(self.map.obs_lmid[kfid])
+                    if l >= 0}
+        rows = [s for s in sel if int(f.lmids[s]) in kf_slots]
+        if len(rows) < 16:
+            return
+        self.prof.start("1.FE_EpiFilter")
+        kf_px = np.stack([
+            self.map.obs_px[kfid, kf_slots[int(f.lmids[s])]] for s in rows])
+        cur_px = f.px_und[rows]
+
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        xl = (kf_px - (cx, cy)) / (fx, fy)
+        xr = (cur_px - (cx, cy)) / (fx, fy)
+
+        # enough parallax? (`visual_front_end.cpp:530-535`)
+        parallax = np.linalg.norm(cur_px - kf_px, axis=-1).mean()
+        if parallax < 5.0:
+            self.prof.stop("1.FE_EpiFilter")
+            return
+
+        n = len(rows)
+        cap = ((n + 127) // 128) * 128
+        pad = cap - n
+        xl_p = np.concatenate([xl, np.zeros((pad, 2))]).astype(np.float32)
+        xr_p = np.concatenate([xr, np.zeros((pad, 2))]).astype(np.float32)
+        vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+
+        from ..geometry.essential import essential_ransac
+        E, inl, n_inl = essential_ransac(
+            self._next_key(), jnp.asarray(xl_p), jnp.asarray(xr_p),
+            jnp.asarray(vmask), focal=fx, err_th_px=cfg.ransac_err,
+            n_iters=cfg.ransac_iter)
+        inl = np.array(inl)[:n]
+        if int(n_inl) >= 10:
+            bad_rows = np.array(rows)[~inl]
+            f.valid[bad_rows] = False
+        self.prof.stop("1.FE_EpiFilter")
+
+    # ------------------------------------------------------------------ #
+
+    def compute_pose(self, T_pred: np.ndarray) -> bool:
+        """P3P (optional) + motion-only PnP (`computePose`,
+        `visual_front_end.cpp:659-851`)."""
+        cfg = self.cfg
+        f = self.frame
+        sel = f.valid & (f.lmids >= 0)
+        ids = f.lmids[sel]
+        is3d = np.zeros_like(sel)
+        is3d[sel] = self.map.lm_is3d[ids] & self.map.lm_valid[ids]
+        rows = np.nonzero(is3d)[0]
+        n3d = len(rows)
+        if n3d < 5:
+            f.T_wc = T_pred.astype(np.float32)
+            return not self.initialized  # mono pre-init: pose undefined yet
+        self.prof.start("1.FE_ComputePose")
+
+        pts = self.map.lm_pos[f.lmids[rows]].astype(np.float32)
+        px = f.px_und[rows]
+        N = self.cfg.max_kps
+        pts_p = np.zeros((N, 3), np.float32)
+        px_p = np.zeros((N, 2), np.float32)
+        vm = np.zeros(N, bool)
+        pts_p[:n3d] = pts
+        px_p[:n3d] = px
+        vm[:n3d] = True
+
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+
+        T0 = T_pred.astype(np.float32)
+        use_p3p = cfg.do_p3p
+        if use_p3p:
+            bv = np.array(self.cam.bearing(jnp.asarray(px_p)))
+            T_p3p, _, n_inl = p3p_ransac(
+                self._next_key(), jnp.asarray(bv), jnp.asarray(pts_p),
+                jnp.asarray(px_p), jnp.asarray(vm), fx, fy, cx, cy,
+                err_th=cfg.ransac_err, n_iters=cfg.ransac_iter)
+            if int(n_inl) >= 5:
+                T0 = np.array(T_p3p)
+
+        T_ref, inlier, _ = pnp_refine(
+            jnp.asarray(T0), jnp.asarray(pts_p), jnp.asarray(px_p),
+            jnp.asarray(vm), fx, fy, cx, cy,
+            robust_th=cfg.robust_mono_th, iters=self.cfg.pnp_iters)
+        inlier = np.array(inlier)[:n3d]
+        n_inl = int(inlier.sum())
+
+        self.prof.stop("1.FE_ComputePose")
+        if n_inl < 5:
+            # tracking failure: keep prediction, caller may reset
+            f.T_wc = T_pred.astype(np.float32)
+            return False
+
+        f.T_wc = np.array(T_ref, np.float32)
+        # remove outlier observations from the frame
+        f.valid[rows[~inlier]] = False
+        return True
+
+    # ------------------------------------------------------------------ #
+
+    def check_new_kf(self) -> bool:
+        """Keyframe-need heuristics, mirroring `checkNewKfReq`
+        (`visual_front_end.cpp:986-1061`) condition by condition."""
+        cfg = self.cfg
+        f = self.frame
+        if not self.initialized:
+            return False  # mono: init path decides
+        kfid = f.kf_id
+        if kfid < 0 or not self.map.kf_valid[kfid]:
+            return False
+
+        cap = cfg.grid_cells[0] * cfg.grid_cells[1]
+        n_occup = f.n_valid  # one kp per cell ⇒ occupied-cell proxy
+        sel = f.valid & (f.lmids >= 0)
+        ids = f.lmids[sel]
+        n3d = int((self.map.lm_is3d[ids] & self.map.lm_valid[ids]).sum()) \
+            if len(ids) else 0
+        kf_lm = self.map.kf_landmark_ids(kfid, only_3d=True)
+        kf_n3d = len(kf_lm)
+        nb_from_kf = self._frames_since_kf
+        time_diff = f.time - float(self.map.kf_times[kfid])
+
+        if n_occup < 0.33 * cap and nb_from_kf >= 5:
+            return True
+        if n3d < 20 and nb_from_kf >= 2:
+            return True
+        if n3d > 0.5 * cap and nb_from_kf < 2:
+            return False
+        if cfg.stereo and time_diff > 1.0:
+            return True
+
+        parallax = self._median_parallax_to_kf(kfid) or 0.0
+        cx = (parallax >= cfg.init_parallax / 2.0
+              or (cfg.stereo and nb_from_kf > 2))
+        c0 = parallax >= cfg.init_parallax
+        c1 = n3d < 0.75 * kf_n3d
+        c2 = n_occup < 0.5 * cap and n3d < 0.85 * kf_n3d
+        return (c0 or c1 or c2) and cx
+
+    def _median_parallax_to_kf(self, kfid: int) -> Optional[float]:
+        """Rotation-compensated median parallax (`computeParallax`,
+        `visual_front_end.cpp:1066-1141`)."""
+        f = self.frame
+        sel = np.nonzero(f.valid & (f.lmids >= 0))[0]
+        if len(sel) < 8:
+            return None
+        kf_slots = {int(l): s for s, l in enumerate(self.map.obs_lmid[kfid])
+                    if l >= 0}
+        pairs = [(s, kf_slots[int(f.lmids[s])]) for s in sel
+                 if int(f.lmids[s]) in kf_slots]
+        if len(pairs) < 8:
+            return None
+        cur = f.px_und[[p[0] for p in pairs]]
+        kf = self.map.obs_px[kfid][[p[1] for p in pairs]]
+        # rotation compensation: rotate KF bearings into cur frame
+        T_kf = self.map.kf_poses[kfid].astype(np.float64)
+        R_rel = lie_np.quat_to_matrix(
+            lie_np.pose_relative(f.T_wc.astype(np.float64), T_kf)[:4])
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        xn = np.concatenate([(kf - (cx, cy)) / (fx, fy),
+                             np.ones((len(kf), 1))], -1)
+        rot = (R_rel @ xn.T).T
+        rot_px = rot[:, :2] / np.maximum(rot[:, 2:], 1e-6) * (fx, fy) + (cx, cy)
+        return float(np.median(np.linalg.norm(cur - rot_px, axis=-1)))
+
+    # ------------------------------------------------------------------ #
+
+    def detect_and_describe(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Fill empty grid cells with new detections and BRIEF-describe all
+        current keypoints (`MapManager::extractKeypoints`,
+        `map_manager.cpp:286-341`). Returns (new_rows, descriptors (N, 8))."""
+        cfg = self.cfg
+        f = self.frame
+        img = self.cur_pyr[0]
+        self.prof.start("1.KF_DetectDescribe")
+
+        if cfg.use_singlescale_detector or cfg.use_shi_tomasi:
+            kps, scores, ok = detect_single_scale(
+                img, jnp.asarray(f.px), jnp.asarray(f.valid),
+                self._quality, cell_size=cfg.max_dist, max_out=cfg.max_kps)
+        else:
+            kps, scores, ok = detect_grid_fast(
+                img, jnp.asarray(f.px), jnp.asarray(f.valid),
+                self._fast_th, cell_size=cfg.max_dist, max_out=cfg.max_kps)
+        kps = np.array(kps)
+        ok = np.array(ok)
+
+        # adaptive threshold update (`feature_extractor.cpp:418-423,546-552`)
+        n_det = int(ok.sum())
+        cap = cfg.grid_cells[0] * cfg.grid_cells[1]
+        n_free = max(cap - f.n_valid, 1)
+        if cfg.use_singlescale_detector or cfg.use_shi_tomasi:
+            if n_det < 0.33 * n_free:
+                self._quality /= 2.0
+            elif n_det > 0.9 * n_free:
+                self._quality *= 1.5
+        else:
+            if n_det < 0.33 * n_free:
+                self._fast_th = max(2.0, self._fast_th * 0.5)
+            elif n_det > 0.9 * n_free:
+                self._fast_th = min(80.0, self._fast_th * 1.5)
+
+        # place new kps into free slots
+        free_slots = np.nonzero(~f.valid)[0]
+        new_rows = []
+        det_rows = np.nonzero(ok)[0]
+        for i, slot in zip(det_rows, free_slots):
+            f.px[slot] = kps[i]
+            f.valid[slot] = True
+            f.lmids[slot] = -1  # landmark assigned by caller
+            new_rows.append(slot)
+        new_rows = np.array(new_rows, np.int64)
+        if len(new_rows):
+            und = np.array(
+                self.cam.undistort_px(jnp.asarray(f.px[new_rows])))
+            f.px_und[new_rows] = und
+
+        desc, dok = describe_brief(
+            img, jnp.asarray(f.px), jnp.asarray(f.valid))
+        self.prof.stop("1.KF_DetectDescribe")
+        return new_rows, np.array(desc)
+
+    # ------------------------------------------------------------------ #
+
+    def reset(self):
+        """Tracking-failure reset (`SlamManager::reset`,
+        `ov2slam.cpp:428-455`)."""
+        self.frame = FrameState.empty(self.cfg.max_kps)
+        self.motion.reset()
+        self.prev_pyr = None
+        self.cur_pyr = None
+        self.initialized = self.cfg.stereo

@@ -1,0 +1,259 @@
+"""SlamManager: the session orchestrator.
+
+TPU-native replacement for `SlamManager` (`src/ov2slam.cpp`): owns the
+camera models, front-end, mapper, estimator and loop closer; feeds frames
+through the pipeline; handles monocular initialization
+(`checkReadyForInit`, `visual_front_end.cpp:855-984`), tracking-failure
+reset (`ov2slam.cpp:428-455`), trajectory logging, and result writing
+(`writeResults`, `ov2slam.cpp:576-623`).
+
+Pipeline mode: synchronous by default (deterministic, testable); the
+asynchronous stage-overlap mode of the reference (front-end ∥ mapper ∥ BA ∥
+LC threads, `ov2slam_node.cpp:198-208`) is provided by
+`models/pipeline.AsyncPipeline`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, build_camera
+from ..geometry.essential import relative_pose_ransac
+from ..geometry.triangulation import reprojection_checks, triangulate_midpoint
+from ..mapping.store import MapStore
+from ..models.estimator import Estimator
+from ..models.frontend import FrontEnd
+from ..models.mapper import Mapper
+from ..utils import lie_np
+from ..utils.config import SlamConfig
+from ..utils.profiler import Profiler
+from ..utils.trajectory import TrajectoryLogger
+
+MONO_INIT_SCALE = 0.25  # reference fixes ||t|| = 0.25 (`visual_front_end.cpp:967-969`)
+
+
+class SlamManager:
+    def __init__(self, cfg: SlamConfig, use_loop_closer: Optional[bool] = None):
+        self.cfg = cfg
+        self.cam_l = build_camera(cfg.cam_left, other=cfg.cam_left,
+                                  build_undist_map=cfg.do_undist)
+        self.cam_r = (build_camera(cfg.cam_right, other=cfg.cam_left)
+                      if cfg.stereo else None)
+        self.map = MapStore(cfg)
+        self.frontend = FrontEnd(cfg, self.cam_l, self.map)
+        self.mapper = Mapper(cfg, self.cam_l, self.cam_r, self.map)
+        self.estimator = Estimator(cfg, self.cam_l, self.cam_r, self.map)
+        self.loop_closer = None
+        if (cfg.use_loop_closer if use_loop_closer is None else use_loop_closer):
+            from ..loopclosure.closer import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.cam_l, self.map,
+                                          self.estimator)
+        self.logger = TrajectoryLogger()
+        self.prof = Profiler.instance()
+        self.frame_id = -1
+        self.n_resets = 0
+        self._rng = jax.random.PRNGKey(42)
+
+    # ------------------------------------------------------------------ #
+
+    def process_frame(self, img_left: np.ndarray,
+                      img_right: Optional[np.ndarray] = None,
+                      time: float = 0.0) -> np.ndarray:
+        """Feed one frame (mono or stereo pair); returns current T_wc."""
+        self.frame_id += 1
+        fe = self.frontend
+        is_kf = fe.track_frame(img_left, time)
+
+        if not fe.initialized:
+            if self.map.n_keyframes > 0 and fe.frame.n_valid < 40:
+                # bootstrap starving: restart from the next frame
+                # (the reference resets a failing mono init,
+                # `visual_front_end.cpp:98-113`, `mapper.cpp:129-144`)
+                self._reset(full=True)
+                is_kf = False
+            else:
+                is_kf = self._check_mono_init() or is_kf
+
+        if is_kf:
+            kfid = self._create_keyframe(time, img_right)
+            fe.frame.kf_id = kfid
+        # tracking-failure reset (`visual_front_end.cpp:100-102`; the
+        # reference's absolute 50/20-kp thresholds are scaled to the grid
+        # budget: 160 cells at EuRoC resolution -> 31% mono / 12% stereo)
+        cap = self.cfg.grid_cells[0] * self.cfg.grid_cells[1]
+        reset_th = max(15, int((0.12 if self.cfg.stereo else 0.3) * cap))
+        if fe.initialized and self.map.n_keyframes > 1 \
+                and fe.frame.n_valid < reset_th:
+            self._reset()
+
+        T = fe.frame.T_wc.astype(np.float64)
+        kf_id = fe.frame.kf_id
+        T_kf = (self.map.kf_poses[kf_id].astype(np.float64)
+                if kf_id >= 0 and self.map.kf_valid[kf_id] else None)
+        self.logger.add_pose(time, T, is_kf, kf_id, T_kf)
+        return fe.frame.T_wc
+
+    # ------------------------------------------------------------------ #
+
+    def _create_keyframe(self, time: float,
+                         img_right: Optional[np.ndarray]) -> int:
+        """`MapManager::createKeyframe` + Mapper/Estimator dispatch
+        (`map_manager.cpp:44-61`, `ov2slam.cpp:168-188`)."""
+        fe = self.frontend
+        f = fe.frame
+
+        new_rows, desc = fe.detect_and_describe()
+        # new keypoints get fresh 2D landmarks
+        if len(new_rows):
+            lmids = self.map.new_landmarks(len(new_rows))
+            f.lmids[new_rows] = lmids
+
+        lm_slots = np.where(f.valid, f.lmids, -1).astype(np.int32)
+        kfid = self.map.add_keyframe(
+            time, f.T_wc, lm_slots, f.px_und, desc.astype(np.uint32))
+        f.kf_id = kfid
+
+        if fe.initialized:
+            self.mapper.process_keyframe(kfid, f, fe.cur_pyr, img_right)
+            if self.cfg.do_track_localmap:
+                self.mapper.match_to_local_map(kfid)
+            if self.cfg.slam_mode:
+                self.estimator.local_ba(kfid)
+                self.estimator.map_filtering(kfid)
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(kfid)
+            # refresh the front-end pose estimate after BA moved the map
+            f.T_wc = self.map.kf_poses[kfid].copy()
+            fe.motion.prev_T = f.T_wc.astype(np.float64)
+        return kfid
+
+    # ------------------------------------------------------------------ #
+
+    def _check_mono_init(self) -> bool:
+        """Monocular bootstrap (`checkReadyForInit`,
+        `visual_front_end.cpp:855-984`): once median parallax vs KF0
+        exceeds the gate, recover the relative pose with essential RANSAC
+        (scale fixed to 0.25), triangulate, and promote to an initialized
+        map."""
+        cfg = self.cfg
+        fe = self.frontend
+        f = fe.frame
+        if self.map.n_keyframes == 0 or f.kf_id < 0:
+            return False
+        kf0 = f.kf_id
+        sel = np.nonzero(f.valid & (f.lmids >= 0))[0]
+        if len(sel) < 30:
+            return False
+
+        kf_slots = {int(l): s for s, l in
+                    enumerate(self.map.obs_lmid[kf0]) if l >= 0}
+        pairs = [(s, kf_slots[int(f.lmids[s])]) for s in sel
+                 if int(f.lmids[s]) in kf_slots]
+        if len(pairs) < 30:
+            return False
+        cur = f.px_und[[p[0] for p in pairs]]
+        kf = self.map.obs_px[kf0][[p[1] for p in pairs]]
+        parallax = np.median(np.linalg.norm(cur - kf, axis=-1))
+        if parallax < cfg.init_parallax:
+            return False
+
+        fx = float(self.cam_l.fx)
+        cx, cy = float(self.cam_l.cx), float(self.cam_l.cy)
+        fy = float(self.cam_l.fy)
+        xl = ((kf - (cx, cy)) / (fx, fy)).astype(np.float32)
+        xr = ((cur - (cx, cy)) / (fx, fy)).astype(np.float32)
+        n = len(pairs)
+        cap = ((n + 127) // 128) * 128
+        xl_p = np.zeros((cap, 2), np.float32)
+        xr_p = np.zeros((cap, 2), np.float32)
+        vm = np.zeros(cap, bool)
+        xl_p[:n] = xl
+        xr_p[:n] = xr
+        vm[:n] = True
+
+        self._rng, key = jax.random.split(self._rng)
+        T_rel, inl, n_inl = relative_pose_ransac(
+            key, jnp.asarray(xl_p), jnp.asarray(xr_p), jnp.asarray(vm),
+            focal=fx, err_th_px=cfg.ransac_err, n_iters=cfg.ransac_iter)
+        if int(n_inl) < 0.5 * n:
+            return False
+        T_rel = np.array(T_rel, np.float64)
+        # fix scale: ||t|| = MONO_INIT_SCALE
+        tnorm = np.linalg.norm(T_rel[4:7])
+        if tnorm < 1e-6:
+            return False
+        T_rel[4:7] *= MONO_INIT_SCALE / tnorm
+
+        T_kf0 = self.map.kf_poses[kf0].astype(np.float64)
+        f.T_wc = lie_np.pose_compose(T_kf0, T_rel).astype(np.float32)
+
+        # triangulate inliers and promote their landmarks
+        inl = np.array(inl)[:n]
+        rows = np.array([p[0] for p in pairs])[inl]
+        bl = np.array(self.cam_l.bearing(jnp.asarray(kf[inl])))
+        bc = np.array(self.cam_l.bearing(jnp.asarray(cur[inl])))
+        T32 = jnp.asarray(T_rel.astype(np.float32))
+        pts0 = np.array(triangulate_midpoint(
+            T32[None], jnp.asarray(bl.astype(np.float32)),
+            jnp.asarray(bc.astype(np.float32))))
+        ok = np.array(reprojection_checks(
+            T32, jnp.asarray(bl.astype(np.float32)),
+            jnp.asarray(bc.astype(np.float32)), jnp.asarray(pts0),
+            fx, cfg.max_reproj_err, min_depth=0.05))
+        if ok.sum() < 20:
+            return False
+        pts_w = lie_np.pose_apply(T_kf0, pts0[ok].astype(np.float64))
+        self.map.set_landmark_positions(
+            f.lmids[rows[ok]], pts_w.astype(np.float32))
+
+        fe.initialized = True
+        # re-seed the motion model: the init jump is NOT one-frame velocity
+        fe.motion.reset()
+        fe.motion.prev_T = f.T_wc.astype(np.float64)
+        fe.motion.prev_time = f.time
+        return True  # make this frame a keyframe
+
+    # ------------------------------------------------------------------ #
+
+    def _reset(self, full: bool = False):
+        """(`SlamManager::reset`, `ov2slam.cpp:428-455`) — clears front-end
+        tracking state; ``full`` also discards the map (pre-init bootstrap
+        restart; post-init the map is kept)."""
+        self.n_resets += 1
+        self.frontend.reset()
+        if full:
+            self.map = MapStore(self.cfg)
+            self.frontend.map = self.map
+            self.mapper.map = self.map
+            self.estimator.map = self.map
+            if self.loop_closer is not None:
+                self.loop_closer.map = self.map
+
+    # ------------------------------------------------------------------ #
+
+    def write_results(self, out_dir: str = "."):
+        """Final products (`writeResults`, `ov2slam.cpp:576-623`)."""
+        import os
+
+        self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
+        self.logger.write_tum(
+            os.path.join(out_dir, "ov2slam_kfs_traj.txt"),
+            keyframes_only=True)
+        self.logger.write_kitti(
+            os.path.join(out_dir, "ov2slam_traj_kitti.txt"))
+        # LC-corrected full trajectory from optimized KF poses
+        kf_poses = {int(k): self.map.kf_poses[k].astype(np.float64)
+                    for k in np.nonzero(self.map.kf_valid)[0]}
+        frames = self.logger.replay_with_keyframes(kf_poses)
+        TrajectoryLogger.write_frames_tum(
+            frames, os.path.join(out_dir, "ov2slam_full_traj_wlc.txt"))
+
+    def estimated_trajectory(self):
+        """(times (F,), poses (F, 7)) of all processed frames."""
+        times = np.array([fp.time for fp in self.logger.frames])
+        poses = np.stack([fp.T_wc for fp in self.logger.frames])
+        return times, poses
