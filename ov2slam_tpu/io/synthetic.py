@@ -19,43 +19,82 @@ from ..utils import lie_np as lie
 from ..utils.config import CameraConfig, SlamConfig
 
 
+def make_patterns(n_points: int, seed: int = 1234,
+                  size: int = 9) -> np.ndarray:
+    """Per-landmark appearance patterns: smoothed random patches, so each
+    feature has a *distinctive* local appearance (required for descriptor
+    matching / place recognition to be meaningful — identical Gaussian
+    blobs make every BRIEF descriptor ambiguous)."""
+    rng = np.random.default_rng(seed)
+    pats = rng.uniform(-1.0, 1.0, size=(n_points, size, size)).astype(
+        np.float32)
+    # light smoothing so subpixel bilinear placement stays consistent
+    k = np.array([0.25, 0.5, 0.25], np.float32)
+    pats = np.apply_along_axis(
+        lambda m: np.convolve(m, k, mode="same"), 1, pats)
+    pats = np.apply_along_axis(
+        lambda m: np.convolve(m, k, mode="same"), 2, pats)
+    # taper edges to zero to avoid splat seams
+    w1 = np.hanning(size + 2)[1:-1].astype(np.float32)
+    pats *= w1[None, :, None] * w1[None, None, :]
+    return pats
+
+
 def render_splats(
     points_cam: np.ndarray,
     intensities: np.ndarray,
     K: np.ndarray,
     width: int,
     height: int,
-    splat_sigma: float = 1.2,
+    patterns: Optional[np.ndarray] = None,
     background: float = 40.0,
 ) -> np.ndarray:
-    """Render 3D points (camera frame) as Gaussian splats. Returns (H, W) f32.
+    """Render 3D points (camera frame) as textured splats. Returns (H, W) f32.
 
-    Subpixel-accurate: each point stamps a 7x7 Gaussian centered at its
-    projected (float) pixel position, so KLT can recover subpixel motion.
+    Subpixel-accurate: each point's pattern is bilinearly placed at its
+    projected (float) pixel position, so KLT can recover subpixel motion
+    and each feature keeps a distinctive appearance across frames.
     """
     img = np.full((height, width), background, np.float32)
     z = points_cam[:, 2]
-    vis = z > 0.3
+    vis_mask = z > 0.3
+    vis = np.nonzero(vis_mask)[0]
     pts = points_cam[vis]
     inten = intensities[vis]
     u = pts[:, 0] / pts[:, 2] * K[0, 0] + K[0, 2]
     v = pts[:, 1] / pts[:, 2] * K[1, 1] + K[1, 2]
-    inb = (u >= 4) & (u < width - 4) & (v >= 4) & (v < height - 4)
-    u, v, inten = u[inb], v[inb], inten[inb]
+    S = 9 if patterns is None else patterns.shape[1]
+    half = S // 2 + 1
+    inb = (u >= half) & (u < width - half) & (v >= half) & (v < height - half)
+    vis, u, v, inten = vis[inb], u[inb], v[inb], inten[inb]
+
+    if patterns is None:
+        patterns_sel = make_patterns(1, size=S)[np.zeros(len(vis), int)]
+    else:
+        patterns_sel = patterns[vis]
 
     iu = np.floor(u).astype(np.int32)
     iv = np.floor(v).astype(np.int32)
-    off = np.arange(-3, 4)
-    oy, ox = np.meshgrid(off, off, indexing="ij")
-    # distances from true subpixel center
-    dx = (iu[:, None, None] + ox[None]) - u[:, None, None]
-    dy = (iv[:, None, None] + oy[None]) - v[:, None, None]
-    w = np.exp(-(dx**2 + dy**2) / (2 * splat_sigma**2))
-    stamp = (inten[:, None, None] * w).astype(np.float32)
+    fu = (u - iu).astype(np.float32)
+    fv = (v - iv).astype(np.float32)
 
-    ys = (iv[:, None, None] + oy[None]).reshape(-1)
-    xs = (iu[:, None, None] + ox[None]).reshape(-1)
-    np.add.at(img, (ys, xs), stamp.reshape(-1))
+    # bilinear placement: pad pattern to (S+1, S+1) and mix 4 shifts
+    P = patterns_sel * inten[:, None, None].astype(np.float32)
+    padded = np.zeros((len(vis), S + 1, S + 1), np.float32)
+    w00 = ((1 - fu) * (1 - fv))[:, None, None]
+    w01 = (fu * (1 - fv))[:, None, None]
+    w10 = ((1 - fu) * fv)[:, None, None]
+    w11 = (fu * fv)[:, None, None]
+    padded[:, :S, :S] += w00 * P
+    padded[:, :S, 1:] += w01 * P
+    padded[:, 1:, :S] += w10 * P
+    padded[:, 1:, 1:] += w11 * P
+
+    off = np.arange(S + 1)
+    oy, ox = np.meshgrid(off, off, indexing="ij")
+    ys = (iv[:, None, None] - S // 2 + oy[None]).reshape(-1)
+    xs = (iu[:, None, None] - S // 2 + ox[None]).reshape(-1)
+    np.add.at(img, (ys, xs), padded.reshape(-1))
     return np.clip(img, 0.0, 255.0)
 
 
@@ -156,6 +195,7 @@ def generate_sequence(
     hi = traj_span.max(0) + np.array([8.0, 5.0, 14.0])
     points = rng.uniform(lo, hi, size=(n_points, 3))
     inten = rng.uniform(60.0, 200.0, size=n_points)
+    patterns = make_patterns(n_points, seed=seed + 1)
 
     T_lr = None
     if stereo:
@@ -167,11 +207,13 @@ def generate_sequence(
         T_wc = gt[i]
         M_cw = np.array(lie.pose_to_matrix(lie.pose_inverse(T_wc)))
         pc = (M_cw[:3, :3] @ points.T).T + M_cw[:3, 3]
-        imgs_l.append(render_splats(pc, inten, K, width, height))
+        imgs_l.append(render_splats(pc, inten, K, width, height,
+                                    patterns=patterns))
         if stereo:
             M_rl = np.array(lie.pose_to_matrix(lie.pose_inverse(T_lr)))
             pr = (M_rl[:3, :3] @ pc.T).T + M_rl[:3, 3]
-            imgs_r.append(render_splats(pr, inten, K, width, height))
+            imgs_r.append(render_splats(pr, inten, K, width, height,
+                                        patterns=patterns))
 
     return SyntheticSequence(
         times=np.arange(n_frames) / fps,

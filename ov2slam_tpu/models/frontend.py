@@ -140,9 +140,12 @@ class FrontEnd:
         self.preprocess(img)
         f.time = time
 
-        if self.map.n_keyframes == 0:
-            # bootstrap: first frame is always a keyframe at identity
-            f.T_wc = lie_np.pose_identity().astype(np.float32)
+        if self.map.n_keyframes == 0 or (f.kf_id < 0 and f.n_valid == 0):
+            # bootstrap (or post-reset re-bootstrap): this frame becomes a
+            # keyframe; pose = identity on first start, else keep the last
+            # estimate so the map stays consistent
+            if self.map.n_keyframes == 0:
+                f.T_wc = lie_np.pose_identity().astype(np.float32)
             self.motion.update(f.T_wc.astype(np.float64), time)
             self.prof.stop("0.Full-Front_End")
             self._frames_since_kf = 0

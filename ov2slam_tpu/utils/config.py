@@ -141,6 +141,12 @@ class SlamConfig:
     kf_filtering_ratio: float = 0.9
     do_full_ba: bool = False
 
+    # --- loop closure (index params mirror `lcdetector.h:42-60`) ----------
+    lc_recent_mask: int = 30        # exclude latest-KF window (ref p=100 imgs)
+    lc_min_score: float = 0.25
+    lc_match_bits: int = 48
+    lc_island_radius: int = 3
+
     # --- TPU-native capacities (static shapes; no reference equivalent —
     # the reference allocates dynamically, we size arrays once) -------------
     max_kps_factor: float = 1.25    # slack over the grid-derived kp budget

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""CLI entry point — the equivalent of `ov2slam_node` (`src/
+ov2slam_node.cpp:159-223`) without ROS: replay a dataset (EuRoC ASL
+directory or a generated synthetic sequence) through the SLAM pipeline
+and write trajectory files + an ATE report.
+
+Usage:
+    python run_slam.py --euroc /data/MH_01_easy --config <yaml> \
+        [--profile fast|average|accurate] [--mono] [--out results/]
+    python run_slam.py --synthetic loop --frames 160 [--mono]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--euroc", help="EuRoC ASL sequence root")
+    ap.add_argument("--config", help="parameter YAML (reference format)")
+    ap.add_argument("--synthetic", choices=["arc", "forward", "loop"],
+                    help="generate a synthetic sequence instead")
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--profile", choices=["fast", "average", "accurate"])
+    ap.add_argument("--mono", action="store_true")
+    ap.add_argument("--out", default=".")
+    ap.add_argument("--timings", action="store_true")
+    args = ap.parse_args()
+
+    try:  # persistent compile cache (remote-TPU compiles are expensive)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from ov2slam_tpu.io.runner import run_sequence
+    from ov2slam_tpu.utils.config import SlamConfig, load_config
+    from ov2slam_tpu.utils.profiles import apply_profile
+    from ov2slam_tpu.utils.profiler import Profiler
+
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.synthetic:
+        from ov2slam_tpu.io.synthetic import generate_sequence
+
+        seq = generate_sequence(
+            n_frames=args.frames, stereo=not args.mono,
+            kind=args.synthetic, width=752, height=480, n_points=8000,
+            speed=0.05)
+        cfg = seq.make_config()
+        frames = seq
+        gt = seq.gt_poses
+    elif args.euroc:
+        from ov2slam_tpu.io.euroc import EurocDataset
+
+        cfg = (load_config(args.config) if args.config else SlamConfig())
+        if args.mono:
+            cfg.mono, cfg.stereo = True, False
+        ds = EurocDataset(args.euroc, stereo=cfg.stereo)
+        frames = iter(ds)
+        gt_data = ds.ground_truth()
+        gt = gt_data[1] if gt_data else None
+    else:
+        ap.error("need --euroc or --synthetic")
+
+    if args.profile:
+        apply_profile(cfg, args.profile)
+    cfg.validate()
+
+    res = run_sequence(cfg, frames, gt_poses=gt, out_dir=args.out)
+    report = dict(
+        frames=res.n_frames, processed=res.n_processed,
+        dropped=res.n_dropped, keyframes=res.n_keyframes,
+        closures=res.n_closures, wall_s=round(res.wall_s, 2),
+        fps=round(res.fps, 2),
+        ate_m=None if res.ate is None else round(res.ate, 4),
+        ate_scaled_m=(None if res.ate_scaled is None
+                      else round(res.ate_scaled, 4)),
+    )
+    print(json.dumps(report))
+    if args.timings:
+        print(Profiler.instance().summary(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+import numpy as np
+import pytest
+
+from ov2slam_tpu.io.euroc import EurocDataset, write_asl_sequence
+from ov2slam_tpu.io.runner import run_sequence
+from ov2slam_tpu.io.synthetic import generate_sequence
+
+
+@pytest.fixture(scope="module")
+def asl_dir(tmp_path_factory):
+    seq = generate_sequence(n_frames=6, stereo=True, width=200, height=160,
+                            n_points=800, seed=10)
+    root = tmp_path_factory.mktemp("euroc")
+    write_asl_sequence(seq, str(root))
+    return str(root), seq
+
+
+def test_euroc_reader_roundtrip(asl_dir):
+    root, seq = asl_dir
+    ds = EurocDataset(root)
+    assert ds.stereo
+    assert len(ds) == 6
+    frames = list(ds)
+    left0, right0, t0 = frames[0]
+    assert left0.shape == (160, 200)
+    assert right0.shape == (160, 200)
+    assert abs(t0 - seq.times[0]) < 1e-6
+    # pixel content survives the uint8 roundtrip
+    assert np.abs(left0 - seq.images_left[0]).max() <= 1.0
+
+    gt = ds.ground_truth()
+    assert gt is not None
+    times, poses = gt
+    np.testing.assert_allclose(times, seq.times, atol=1e-6)
+    np.testing.assert_allclose(poses[:, 4:], seq.gt_poses[:, 4:], atol=1e-9)
+
+
+def test_euroc_reader_mono(asl_dir):
+    root, _ = asl_dir
+    ds = EurocDataset(root, stereo=False)
+    assert not ds.stereo
+    left, right, t = next(iter(ds))
+    assert right is None
+
+
+def test_runner_on_synthetic():
+    seq = generate_sequence(n_frames=12, stereo=True, width=376, height=240,
+                            n_points=2500, seed=11, speed=0.05)
+    cfg = seq.make_config(max_keyframes=32, max_landmarks=4096,
+                          use_fast=False, use_singlescale_detector=True,
+                          max_dist=30)
+    res = run_sequence(cfg, seq)
+    assert res.n_processed == 12
+    assert res.n_keyframes >= 1
+    assert res.ate is not None and res.ate < 0.1
+
+
+def test_runner_realtime_drops_frames():
+    seq = generate_sequence(n_frames=12, stereo=True, width=376, height=240,
+                            n_points=2500, seed=12, speed=0.05,
+                            fps=1e6)  # absurd rate: forces drops
+    cfg = seq.make_config(max_keyframes=32, max_landmarks=4096,
+                          use_fast=False, use_singlescale_detector=True,
+                          max_dist=30, force_realtime=True)
+    res = run_sequence(cfg, seq)
+    assert res.n_dropped > 0
+    assert res.n_processed + res.n_dropped == 12
