@@ -278,3 +278,15 @@ class LoopCloser:
             cur_lm = int(m.obs_lmid[kfid, slot])
             if cur_lm >= 0 and cur_lm != int(lmid) and m.lm_valid[cur_lm]:
                 m.merge_landmarks(int(lmid), cur_lm)
+
+        # structure-only refinement of the corrected region, then a loose
+        # BA over the loop range if the pose correction was large
+        # (`loop_closer.cpp:353-371`)
+        from ..solvers.ba_variants import loose_ba, structure_only_ba
+
+        structure_only_ba(m, window[-min(8, len(window)):],
+                          self.estimator.params, self.cfg)
+        pose_shift = float(np.linalg.norm(
+            new_poses[i_new][4:7] - old_poses[i_new][4:7]))
+        if pose_shift >= 0.02:
+            loose_ba(m, cand, kfid, self.estimator.params, self.cfg)

@@ -31,33 +31,42 @@ class Estimator:
 
     # ------------------------------------------------------------------ #
 
-    def local_ba(self, kfid: int) -> int:
+    def local_ba(self, kfid: int, lock=None) -> int:
         """Windowed BA around ``kfid`` (`Optimizer::localBA`,
-        `optimizer.cpp:34-897`). Returns the number of observations used."""
+        `optimizer.cpp:34-897`). Returns the number of observations used.
+
+        ``lock``: optional map lock — held for problem build and
+        write-back only; the solve runs outside it (the reference
+        pattern: Ceres solves outside `map_mutex_`, write-back inside,
+        `optimizer.cpp:436-479,741`)."""
+        import contextlib
+
+        lock = lock or contextlib.nullcontext()
         cfg = self.cfg
         m = self.map
         if m.n_keyframes < 3:
             return 0
         self.prof.start("3.LocalBA")
 
-        cov = m.covisible_kfs(kfid, min_score=cfg.min_cov_score,
-                              max_n=cfg.local_ba_max_kfs - 1)
-        if len(cov) == 0:
-            cov = m.covisible_kfs(kfid, min_score=1,
+        with lock:
+            cov = m.covisible_kfs(kfid, min_score=cfg.min_cov_score,
                                   max_n=cfg.local_ba_max_kfs - 1)
-        window = [kfid] + [int(k) for k in cov]
+            if len(cov) == 0:
+                cov = m.covisible_kfs(kfid, min_score=1,
+                                      max_n=cfg.local_ba_max_kfs - 1)
+            window = [kfid] + [int(k) for k in cov]
 
-        # gauge: fix the two oldest KFs in the window (mono needs >= 2 for
-        # scale; `optimizer.cpp:396-407`), or KF 0 if present
-        by_age = sorted(window)
-        n_fix = 1 if cfg.stereo else 2
-        fixed = by_age[:n_fix]
-        if 0 in window:
-            fixed = list(set(fixed) | {0})
+            # gauge: fix the two oldest KFs in the window (mono needs >= 2
+            # for scale; `optimizer.cpp:396-407`), or KF 0 if present
+            by_age = sorted(window)
+            n_fix = 1 if cfg.stereo else 2
+            fixed = by_age[:n_fix]
+            if 0 in window:
+                fixed = list(set(fixed) | {0})
 
-        prob = m.build_ba_problem(
-            window, fixed, max_kfs=cfg.local_ba_max_kfs,
-            max_obs=cfg.local_ba_max_obs)
+            prob = m.build_ba_problem(
+                window, fixed, max_kfs=cfg.local_ba_max_kfs,
+                max_obs=cfg.local_ba_max_obs)
         if prob.n_obs < 20:
             self.prof.stop("3.LocalBA")
             return 0
@@ -74,19 +83,17 @@ class Estimator:
 
         inlier = np.array(inlier)
         # landmark culling: drop landmarks whose observations are mostly
-        # outliers (`optimizer.cpp:805-882`)
-        lm_ok = np.ones(len(prob.lm_ids), bool)
-        obs_lm = prob.obs_lm
+        # outliers (`optimizer.cpp:805-882`) — vectorized per-landmark
+        # inlier/total counts via bincount
+        Lw = len(prob.lm_ids)
         vv = prob.obs_valid
-        for i in range(len(prob.lm_ids)):
-            if prob.lm_ids[i] < 0:
-                continue
-            sel = vv & (obs_lm == i)
-            n = sel.sum()
-            if n and inlier[sel].sum() < max(2, 0.5 * n):
-                lm_ok[i] = False
+        tot = np.bincount(prob.obs_lm[vv], minlength=Lw)[:Lw]
+        good = np.bincount(prob.obs_lm[vv & inlier], minlength=Lw)[:Lw]
+        lm_ok = (prob.lm_ids < 0) | (tot == 0) | (
+            good >= np.maximum(2, 0.5 * tot))
 
-        m.apply_ba_result(prob, np.array(poses), np.array(points), lm_ok)
+        with lock:
+            m.apply_ba_result(prob, np.array(poses), np.array(points), lm_ok)
         self.prof.stop("3.LocalBA")
         return int(prob.n_obs)
 

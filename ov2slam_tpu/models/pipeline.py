@@ -1,0 +1,149 @@
+"""Asynchronous stage-overlap pipeline.
+
+The reference runs front-end ∥ mapper ∥ BA ∥ loop-closer as OS threads
+sharing the map under mutexes (`ov2slam_node.cpp:198-208`,
+`mapper.cpp:38-51`), connected by bounded keyframe queues with
+backpressure (`mapper.cpp:784-819`, `estimator.cpp:185-218`).
+
+TPU-native version: the front-end stays on the caller thread (it is the
+real-time path); keyframe processing (mapper + local BA + loop closure)
+runs on one worker thread. Queue semantics mirror the reference:
+
+- the worker drains its queue to the *latest* keyframe, folding skipped
+  ones (Estimator::getNewKf drain, `estimator.cpp:185-218`),
+- under backpressure the expensive optional stages (local-map matching,
+  loop closure) are skipped (`bnewkfavailable_` checks,
+  `mapper.cpp:153-162`),
+- BA preemption (`signalStopLocalBA`) becomes "newer KF already queued →
+  solve with fewer iterations" — bounded compute instead of wall-clock
+  aborts.
+
+Map consistency: a single coarse lock guards map mutations — the same
+granularity as the reference's `map_mutex_` (held by the front-end for
+its whole frame, `visual_front_end.cpp:42`); BA solves run outside the
+lock on problem snapshots, exactly like Ceres solves outside the mutex
+with locked write-back (`optimizer.cpp:741`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+from .slam import SlamManager
+
+
+class AsyncSlamManager(SlamManager):
+    """SlamManager with keyframe processing on a worker thread."""
+
+    def __init__(self, cfg, use_loop_closer: Optional[bool] = None,
+                 queue_size: int = 4):
+        super().__init__(cfg, use_loop_closer)
+        self.map_lock = threading.RLock()
+        self._kf_queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._kf_worker, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------ #
+    # overrides
+    # ------------------------------------------------------------------ #
+
+    def _create_keyframe(self, time, img_right):
+        fe = self.frontend
+        f = fe.frame
+
+        with self.map_lock:
+            new_rows, desc = fe.detect_and_describe()
+            if len(new_rows):
+                lmids = self.map.new_landmarks(len(new_rows))
+                f.lmids[new_rows] = lmids
+            lm_slots = np.where(f.valid, f.lmids, -1).astype(np.int32)
+            kfid = self.map.add_keyframe(
+                time, f.T_wc, lm_slots, f.px_und, desc.astype(np.uint32))
+            f.kf_id = kfid
+
+        if fe.initialized:
+            # hand off to the worker (drop-oldest on overflow = the
+            # reference's real-time load shedding)
+            item = (kfid, fe.cur_pyr, img_right)
+            try:
+                self._kf_queue.put_nowait(item)
+            except queue.Full:
+                try:
+                    self._kf_queue.get_nowait()
+                except queue.Empty:
+                    pass
+                self._kf_queue.put_nowait(item)
+        return kfid
+
+    def process_frame(self, img_left, img_right=None, time: float = 0.0):
+        with self.map_lock:
+            return super().process_frame(img_left, img_right, time)
+
+    # ------------------------------------------------------------------ #
+
+    def _kf_worker(self):
+        while not self._stop.is_set():
+            try:
+                item = self._kf_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            # drain to the newest KF; skipped KFs still got added to the
+            # map by the front-end, they just miss mapping/BA
+            backlogged = False
+            while True:
+                try:
+                    item = self._kf_queue.get_nowait()
+                    backlogged = True
+                except queue.Empty:
+                    break
+            kfid, pyr, img_right = item
+            try:
+                self._process_kf(kfid, pyr, img_right,
+                                 under_pressure=backlogged)
+            except Exception:  # worker must survive; surface via counter
+                import traceback
+
+                traceback.print_exc()
+                self.n_worker_errors = getattr(self, "n_worker_errors", 0) + 1
+
+    def _process_kf(self, kfid, pyr, img_right, under_pressure: bool):
+        if not self.map.kf_valid[kfid]:
+            return
+        with self.map_lock:
+            self.mapper.process_keyframe(kfid, self.frontend.frame, pyr,
+                                         img_right)
+            if self.cfg.do_track_localmap and not under_pressure:
+                self.mapper.match_to_local_map(kfid)
+        if self.cfg.slam_mode:
+            self.estimator.local_ba(kfid, lock=self.map_lock)
+            with self.map_lock:
+                self.estimator.map_filtering(kfid)
+        if self.loop_closer is not None and not under_pressure:
+            with self.map_lock:
+                self.loop_closer.process_keyframe(kfid)
+
+    # ------------------------------------------------------------------ #
+
+    def flush(self, timeout: float = 30.0):
+        """Wait until the keyframe queue is drained (end-of-sequence
+        barrier, `writeResults` waits for BA/LC, `ov2slam.cpp:579-582`)."""
+        import time as _t
+
+        t0 = _t.time()
+        while not self._kf_queue.empty() and _t.time() - t0 < timeout:
+            _t.sleep(0.01)
+
+    def close(self):
+        self.flush()
+        self._stop.set()
+        self._worker.join(timeout=5.0)
+
+    def write_results(self, out_dir: str = "."):
+        self.flush()
+        with self.map_lock:
+            super().write_results(out_dir)

@@ -239,6 +239,12 @@ class SlamManager:
         """Final products (`writeResults`, `ov2slam.cpp:576-623`)."""
         import os
 
+        if self.cfg.do_full_ba and self.map.n_keyframes >= 3:
+            # optional final global BA (`ov2slam.cpp:600-615` runFullBA)
+            from ..solvers.ba_variants import full_ba
+
+            full_ba(self.map, self.estimator.params, self.cfg)
+
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
         self.logger.write_tum(
             os.path.join(out_dir, "ov2slam_kfs_traj.txt"),

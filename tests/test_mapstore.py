@@ -126,3 +126,31 @@ def test_capacity_errors():
     add_kf(store, 1.0)
     with pytest.raises(RuntimeError):
         add_kf(store, 2.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, store):
+    from ov2slam_tpu.mapping.checkpoint import load_map, save_map
+    from ov2slam_tpu.utils.config import SlamConfig
+
+    lm = store.new_landmarks(12)
+    store.set_landmark_positions(lm, np.random.rand(12, 3).astype(np.float32))
+    k0 = add_kf(store, 0.0, lmids=lm, stereo=True)
+    k1 = add_kf(store, 1.0, lmids=lm[:6])
+    p = tmp_path / "map.npz"
+    save_map(store, str(p))
+
+    fresh = MapStore(SlamConfig(max_keyframes=32, max_landmarks=512))
+    load_map(fresh, str(p))
+    assert fresh.n_keyframes == 2
+    assert fresh.n_landmarks_3d == 12
+    np.testing.assert_array_equal(fresh.obs_lmid, store.obs_lmid)
+    np.testing.assert_array_equal(fresh.kf_poses, store.kf_poses)
+    assert set(fresh.landmark_observers(lm[0])) == {k0, k1}
+    # cursors restored: new allocations continue after the old ones
+    nxt = fresh.new_landmarks(1)[0]
+    assert nxt == lm[-1] + 1
+
+    # capacity mismatch rejected
+    small = MapStore(SlamConfig(max_keyframes=8, max_landmarks=64))
+    with pytest.raises(ValueError):
+        load_map(small, str(p))
