@@ -205,17 +205,25 @@ class MapStore:
         else:
             self.obs_is_stereo[kfid] = False
 
-        for slot in np.nonzero(lmids >= 0)[0]:
-            lmid = lmids[slot]
-            if not self.lm_valid[lmid]:
-                self.obs_lmid[kfid, slot] = -1
-                continue
-            if not self._lm_add_observer(lmid, kfid, slot):
-                self.obs_lmid[kfid, slot] = -1  # observer list full
-                continue
-            if self.lm_anchor_kf[lmid] < 0:
-                self.lm_anchor_kf[lmid] = kfid
-            self.lm_desc[lmid] = desc[slot]
+        from .. import native
+
+        if native.AVAILABLE:
+            native.add_keyframe_obs(
+                kfid, self.obs_lmid[kfid], self.lm_valid,
+                self.lm_obs_kf, self.lm_obs_slot, self.lm_anchor_kf)
+        else:
+            for slot in np.nonzero(lmids >= 0)[0]:
+                lmid = lmids[slot]
+                if not self.lm_valid[lmid]:
+                    self.obs_lmid[kfid, slot] = -1
+                    continue
+                if not self._lm_add_observer(lmid, kfid, slot):
+                    self.obs_lmid[kfid, slot] = -1  # observer list full
+                    continue
+                if self.lm_anchor_kf[lmid] < 0:
+                    self.lm_anchor_kf[lmid] = kfid
+        sel = self.obs_lmid[kfid] >= 0
+        self.lm_desc[self.obs_lmid[kfid][sel]] = desc[sel]
         return kfid
 
     def remove_keyframe(self, kfid: int):
@@ -261,6 +269,12 @@ class MapStore:
     def covisibility_counts(self, kfid: int) -> np.ndarray:
         """(K,) number of 3D landmarks shared with ``kfid``
         (score map of `updateFrameCovisibility`, `map_manager.cpp:117-193`)."""
+        from .. import native
+
+        if native.AVAILABLE:
+            return native.covisibility_counts(
+                kfid, self.obs_lmid, self.lm_valid & self.lm_is3d,
+                self.lm_obs_kf, self.kf_valid)
         lmids = self.kf_landmark_ids(kfid, only_3d=True)
         if len(lmids) == 0:
             return np.zeros(self.K, np.int32)
@@ -311,54 +325,58 @@ class MapStore:
             if k in kf_index:
                 fixed[kf_index[k]] = True
 
-        # landmarks observed in the window
-        all_lm: Dict[int, int] = {}
-        obs_rows: List[Tuple[int, int, float, float, float, bool]] = []
-        for k in window:
-            ki = kf_index[k]
-            slots = np.nonzero(self.obs_lmid[k] >= 0)[0]
-            for slot in slots:
-                lmid = int(self.obs_lmid[k, slot])
-                if not (self.lm_valid[lmid] and self.lm_is3d[lmid]):
-                    continue
-                all_lm.setdefault(lmid, 0)
-                all_lm[lmid] += 1
+        # landmarks observed in the window (native pointer-chasing when
+        # libmapcore is built; numpy/python fallback otherwise)
+        from .. import native
 
-        lm_sel = [l for l, c in all_lm.items() if c >= min_obs_per_lm]
-        lm_index = {l: i for i, l in enumerate(lm_sel)}
+        win_arr = np.asarray(window, np.int32)
+        is3d_valid = self.lm_valid & self.lm_is3d
+        if native.AVAILABLE and len(window):
+            counts = native.count_window_lms(
+                win_arr, self.obs_lmid, is3d_valid)
+        else:
+            counts = np.zeros(self.L, np.int32)
+            for k in window:
+                ids = self.obs_lmid[k]
+                ids = ids[ids >= 0]
+                ids = ids[is3d_valid[ids]]
+                np.add.at(counts, ids, 1)
+        lm_sel = np.nonzero(counts >= min_obs_per_lm)[0]
+        lm_index = np.full(self.L, -1, np.int32)
+        lm_index[lm_sel] = np.arange(len(lm_sel), dtype=np.int32)
 
-        for k in window:
-            ki = kf_index[k]
-            slots = np.nonzero(self.obs_lmid[k] >= 0)[0]
-            for slot in slots:
-                lmid = int(self.obs_lmid[k, slot])
-                if lmid not in lm_index:
-                    continue
-                li = lm_index[lmid]
-                obs_rows.append((
-                    ki, li,
-                    float(self.obs_px[k, slot, 0]),
-                    float(self.obs_px[k, slot, 1]), 0))
-                if self.obs_is_stereo[k, slot]:
-                    # stereo measurement = an extra residual row in the
-                    # right camera (RightCamKSE3XYZ factors,
-                    # `se3left_parametrization.hpp:138-170`)
-                    obs_rows.append((
-                        ki, li,
-                        float(self.obs_rpx[k, slot, 0]),
-                        float(self.obs_rpx[k, slot, 1]), 1))
-
-        obs_rows = obs_rows[:max_obs]
         O = max_obs
-        obs_kf = np.full(O, -1, np.int32)
-        obs_lm = np.full(O, -1, np.int32)
-        obs_px = np.zeros((O, 2), np.float32)
-        obs_cam = np.zeros(O, np.int8)
-        for i, (ki, li, u, v, cam) in enumerate(obs_rows):
-            obs_kf[i] = ki
-            obs_lm[i] = li
-            obs_px[i] = (u, v)
-            obs_cam[i] = cam
+        if native.AVAILABLE and len(window):
+            _, obs_kf, obs_lm, obs_px, obs_cam = native.build_ba_obs(
+                win_arr, self.obs_lmid, self.obs_px, self.obs_rpx,
+                self.obs_is_stereo, lm_index, max_obs)
+        else:
+            obs_kf = np.full(O, -1, np.int32)
+            obs_lm = np.full(O, -1, np.int32)
+            obs_px = np.zeros((O, 2), np.float32)
+            obs_cam = np.zeros(O, np.int8)
+            n = 0
+            for k in window:
+                ki = kf_index[k]
+                for slot in np.nonzero(self.obs_lmid[k] >= 0)[0]:
+                    lmid = int(self.obs_lmid[k, slot])
+                    li = lm_index[lmid]
+                    if li < 0 or n >= max_obs:
+                        continue
+                    obs_kf[n] = ki
+                    obs_lm[n] = li
+                    obs_px[n] = self.obs_px[k, slot]
+                    obs_cam[n] = 0
+                    n += 1
+                    if self.obs_is_stereo[k, slot] and n < max_obs:
+                        # stereo measurement = an extra residual row in the
+                        # right camera (RightCamKSE3XYZ factors,
+                        # `se3left_parametrization.hpp:138-170`)
+                        obs_kf[n] = ki
+                        obs_lm[n] = li
+                        obs_px[n] = self.obs_rpx[k, slot]
+                        obs_cam[n] = 1
+                        n += 1
 
         Lw = len(lm_sel)
         lm_ids = np.full(max(Lw, 1), -1, np.int32)
