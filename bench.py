@@ -1,10 +1,11 @@
-"""Benchmark: front-end tracking throughput on the current backend.
+"""Benchmark: fused front-end tracking throughput on the current backend.
 
-Measures the 20 Hz hot path of the reference (`SlamManager::run` →
-`visualTracking`: pyramid + prior-guided forward-backward KLT + motion-only
-PnP, `visual_front_end.cpp:40-851`) as fused jitted steps over a synthetic
-EuRoC-resolution stream, pipelined to amortize host↔device latency (frames
-are independent dispatches, as in the real async pipeline).
+Measures the real 20 Hz hot path — `ov2slam_tpu.models.frontend_step.
+fused_track_step`, the single-dispatch per-frame computation (CLAHE off,
+pyramid build, landmark-projection priors, forward-backward pyramidal KLT,
+undistortion, essential-RANSAC epipolar gating, motion-only PnP) — over a
+synthetic EuRoC-resolution stream, pipelined to amortize host↔device
+latency exactly as the streaming pipeline does.
 
 Prints ONE JSON line: frames/s vs the reference's real-time requirement
 (EuRoC camera rate = 20 fps; the reference enforces realtime by frame
@@ -33,62 +34,69 @@ def main():
     sys.path.insert(0, "/root/repo")
     from ov2slam_tpu.core.image import build_pyramid
     from ov2slam_tpu.io.synthetic import generate_sequence
-    from ov2slam_tpu.ops.klt import fb_klt_track
-    from ov2slam_tpu.solvers.pnp_refine import pnp_refine
+    from ov2slam_tpu.models.frontend_step import CalibArrays, fused_track_step
     from ov2slam_tpu.utils import lie_np
 
     dev = jax.devices()[0]
     print(f"# backend: {dev.platform} ({dev})", file=sys.stderr)
 
-    # EuRoC-shaped synthetic stream
     n_frames = 8
     seq = generate_sequence(n_frames=n_frames, stereo=False, width=752,
                             height=480, n_points=6000, seed=0, speed=0.05)
 
-    pyr_fn = jax.jit(lambda im: tuple(build_pyramid(im, 4)))
-    pyrs = [pyr_fn(jnp.asarray(im, jnp.float32)) for im in seq.images_left]
-    jax.block_until_ready(pyrs[-1])
+    K = seq.K
+    calib = CalibArrays(
+        fx=jnp.float32(K[0, 0]), fy=jnp.float32(K[1, 1]),
+        cx=jnp.float32(K[0, 2]), cy=jnp.float32(K[1, 2]),
+        dist=jnp.zeros(4, jnp.float32))
 
-    # keypoints + associated 3D points (visible subset of the true map)
+    # keypoints + their true 3D landmarks, visible in frame 0
     rng = np.random.default_rng(1)
     N = 256
     T0 = seq.gt_poses[0]
     pc = lie_np.pose_apply(lie_np.pose_inverse(T0), seq.points)
-    K = seq.K
-    u = K[0, 0] * pc[:, 2 - 2] / pc[:, 2] + K[0, 2]
+    u = K[0, 0] * pc[:, 0] / pc[:, 2] + K[0, 2]
     v = K[1, 1] * pc[:, 1] / pc[:, 2] + K[1, 2]
     vis = (pc[:, 2] > 1) & (u > 30) & (u < 720) & (v > 30) & (v < 450)
     pick = rng.choice(np.nonzero(vis)[0], N, replace=False)
-    kps = np.stack([u[pick], v[pick]], -1).astype(np.float32)
-    pts_w = seq.points[pick].astype(np.float32)
-
-    kps_j = jnp.asarray(kps)
+    px = jnp.asarray(np.stack([u[pick], v[pick]], -1).astype(np.float32))
+    lm_pos = jnp.asarray(seq.points[pick].astype(np.float32))
     valid = jnp.ones(N, bool)
-    pts_j = jnp.asarray(pts_w)
-    T_j = jnp.asarray(T0.astype(np.float32))
-    fx = float(K[0, 0])
-    cx, cy = float(K[0, 2]), float(K[1, 2])
+    is3d = jnp.ones(N, bool)
+    T_pred = jnp.asarray(T0.astype(np.float32))
+    kf_px = px
+    pair_valid = jnp.ones(N, bool)
+    key = jax.random.PRNGKey(0)
 
-    def frontend_step(pyr_prev, pyr_cur, kps, valid, T_wc):
-        tracked, status = fb_klt_track(pyr_prev, pyr_cur, kps, kps, valid,
-                                       win=9, iters=30)
-        T_new, inlier, _ = pnp_refine(T_wc, pts_j, tracked, status,
-                                      fx, fx, cx, cy, iters=5)
-        return tracked, status & inlier, T_new
+    pyr_fn = jax.jit(lambda im: tuple(build_pyramid(im, 4)))
+    imgs = [jnp.asarray(im, jnp.float32) for im in seq.images_left]
+    prev_pyr = pyr_fn(imgs[0])
+    jax.block_until_ready(prev_pyr)
 
-    # warm up compile
-    out = frontend_step(pyrs[0], pyrs[1], kps_j, valid, T_j)
+    def step(img, prev_pyr):
+        return fused_track_step(
+            img, prev_pyr, px, valid, lm_pos, is3d, T_pred, kf_px,
+            pair_valid, key, calib,
+            jnp.float32(3.0), jnp.float32(0.5), jnp.float32(30.0),
+            jnp.float32(3.0), jnp.float32(5.9915),
+            levels=4, win=9, iters=30, use_clahe=False,
+            do_epipolar=True, do_pose=True, ransac_iters=100,
+            pnp_iters=10)
+
+    out = step(imgs[1], prev_pyr)
     jax.block_until_ready(out)
-    _ = np.array(out[0])
+    _ = np.array(out[1])
 
-    # pipelined throughput: dispatch a window of frames, block on the last
+    # pipelined throughput over the stream: each frame's step feeds the
+    # next frame's prev_pyr (true streaming dependency chain)
     n_iters = 120
     t0 = time.perf_counter()
     outs = []
+    p = prev_pyr
     for i in range(n_iters):
-        a = pyrs[i % (n_frames - 1)]
-        b = pyrs[i % (n_frames - 1) + 1]
-        outs.append(frontend_step(a, b, kps_j, valid, T_j))
+        o = step(imgs[1 + i % (n_frames - 1)], p)
+        p = o[0]
+        outs.append(o)
     jax.block_until_ready(outs[-1])
     t1 = time.perf_counter()
 

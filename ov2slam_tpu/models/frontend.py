@@ -32,6 +32,7 @@ from ..ops.brief import describe_brief
 from ..ops.detect import detect_grid_fast, detect_single_scale
 from ..ops.klt import fb_klt_track
 from ..solvers.pnp_refine import pnp_refine
+from .frontend_step import CalibArrays, fused_track_step
 from ..utils import lie_np
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
@@ -112,6 +113,13 @@ class FrontEnd:
         self._quality = cfg.max_quality
         self._fast_th = float(cfg.fast_th)
         self._frames_since_kf = 0
+        self._calib = CalibArrays(
+            fx=jnp.asarray(cam_l.fx, jnp.float32),
+            fy=jnp.asarray(cam_l.fy, jnp.float32),
+            cx=jnp.asarray(cam_l.cx, jnp.float32),
+            cy=jnp.asarray(cam_l.cy, jnp.float32),
+            dist=jnp.asarray(cam_l.dist, jnp.float32))
+        self._fisheye = cam_l.model == "fisheye"
 
     # ------------------------------------------------------------------ #
 
@@ -133,17 +141,21 @@ class FrontEnd:
     def track_frame(self, img: np.ndarray, time: float) -> bool:
         """Process one (left/mono) frame; returns True if it should become
         a keyframe (`visualTracking`/`trackMono`,
-        `visual_front_end.cpp:40-128`)."""
+        `visual_front_end.cpp:40-128`).
+
+        The whole per-frame device computation (CLAHE+pyramid, prior
+        projection, fb-KLT, undistortion, epipolar gate, PnP) is ONE
+        fused dispatch (`frontend_step.fused_track_step`)."""
         cfg = self.cfg
         f = self.frame
         self.prof.start("0.Full-Front_End")
-        self.preprocess(img)
         f.time = time
 
         if self.map.n_keyframes == 0 or (f.kf_id < 0 and f.n_valid == 0):
             # bootstrap (or post-reset re-bootstrap): this frame becomes a
             # keyframe; pose = identity on first start, else keep the last
             # estimate so the map stays consistent
+            self.preprocess(img)
             if self.map.n_keyframes == 0:
                 f.T_wc = lie_np.pose_identity().astype(np.float32)
             self.motion.update(f.T_wc.astype(np.float64), time)
@@ -155,15 +167,64 @@ class FrontEnd:
         if T_pred is None:
             T_pred = f.T_wc.astype(np.float64)
 
-        self.klt_tracking(T_pred)
+        # --- host-side slot gathers (vectorized numpy) ----------------- #
+        ids = np.maximum(f.lmids, 0)
+        live = f.valid & (f.lmids >= 0) & self.map.lm_valid[ids]
+        is3d = live & self.map.lm_is3d[ids]
+        lm_pos = np.where(is3d[:, None], self.map.lm_pos[ids], 0.0)
 
-        if cfg.do_epipolar:
-            self.epipolar_filtering()
+        kf_px = np.zeros_like(f.px_und)
+        pair_valid = np.zeros(len(f.px), bool)
+        kfid = f.kf_id
+        if kfid >= 0 and self.map.kf_valid[kfid]:
+            lookup = np.full(self.map.L, -1, np.int32)
+            kf_lm = self.map.obs_lmid[kfid]
+            sel = kf_lm >= 0
+            lookup[kf_lm[sel]] = np.nonzero(sel)[0]
+            slot_in_kf = lookup[ids]
+            pair_valid = live & (slot_in_kf >= 0)
+            kf_px[pair_valid] = self.map.obs_px[
+                kfid, slot_in_kf[pair_valid]]
 
-        is_ok = self.compute_pose(T_pred)
-        if not is_ok and not self.initialized:
-            # mono init failure handling happens at the manager level
-            pass
+        # --- one fused device step ------------------------------------- #
+        do_pose = bool(self.initialized)
+        (cur_pyr, tracked, und, status, T_new, pose_ok, n_inl) = \
+            fused_track_step(
+                jnp.asarray(img, jnp.float32), self.cur_pyr,
+                jnp.asarray(f.px), jnp.asarray(f.valid),
+                jnp.asarray(lm_pos.astype(np.float32)),
+                jnp.asarray(is3d),
+                jnp.asarray(T_pred.astype(np.float32)),
+                jnp.asarray(kf_px), jnp.asarray(pair_valid),
+                self._next_key(), self._calib,
+                jnp.float32(cfg.clahe_val),
+                jnp.float32(cfg.max_fbklt_dist),
+                jnp.float32(cfg.klt_err),
+                jnp.float32(cfg.ransac_err),
+                jnp.float32(cfg.robust_mono_th),
+                levels=cfg.klt_levels, win=cfg.klt_win_size,
+                iters=cfg.max_iter, use_clahe=cfg.use_clahe,
+                do_epipolar=cfg.do_epipolar, do_pose=do_pose,
+                ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
+                fisheye=self._fisheye)
+
+        self.prev_pyr = self.cur_pyr
+        self.cur_pyr = cur_pyr
+        status = np.array(status)
+        f.px = np.where(status[:, None], np.array(tracked), f.px)
+        f.px_und = np.where(status[:, None], np.array(und), f.px_und)
+        f.valid &= status
+
+        if do_pose:
+            if bool(pose_ok):
+                f.T_wc = np.array(T_new, np.float32)
+            else:
+                # PnP failed: P3P re-localization attempt
+                # (`visual_front_end.cpp:731-742,815-818`)
+                if not (cfg.do_p3p and self._p3p_fallback(T_pred)):
+                    f.T_wc = T_pred.astype(np.float32)
+        else:
+            f.T_wc = T_pred.astype(np.float32)
 
         self.motion.update(f.T_wc.astype(np.float64), time)
         self._frames_since_kf += 1
@@ -174,115 +235,9 @@ class FrontEnd:
             self._frames_since_kf = 0
         return is_kf
 
-    # ------------------------------------------------------------------ #
-
-    def klt_tracking(self, T_pred: np.ndarray):
-        """Prior-guided fb-KLT of current keypoints (`kltTracking`,
-        `visual_front_end.cpp:132-275`)."""
-        cfg = self.cfg
-        f = self.frame
-        if self.prev_pyr is None or f.n_valid == 0:
-            return
-        self.prof.start("1.FE_KLT")
-
-        # priors: project 3D landmarks with the predicted pose
-        priors = f.px.copy()
-        if cfg.klt_use_prior:
-            lm_ok = (f.lmids >= 0) & f.valid
-            ids = f.lmids[lm_ok]
-            is3d = np.zeros_like(lm_ok)
-            is3d[lm_ok] = self.map.lm_is3d[ids] & self.map.lm_valid[ids]
-            if is3d.any():
-                pts = self.map.lm_pos[f.lmids[is3d]]
-                T_cw = lie_np.pose_inverse(T_pred)
-                pc = lie_np.pose_apply(T_cw, pts.astype(np.float64))
-                z = np.maximum(pc[:, 2], 1e-3)
-                proj = np.stack([
-                    pc[:, 0] / z * float(self.cam.fx) + float(self.cam.cx),
-                    pc[:, 1] / z * float(self.cam.fy) + float(self.cam.cy),
-                ], -1)
-                inb = ((proj[:, 0] >= 0) & (proj[:, 0] < self.cam.width)
-                       & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height)
-                       & (pc[:, 2] > 0.1))
-                rows = np.nonzero(is3d)[0]
-                priors[rows[inb]] = proj[inb].astype(np.float32)
-
-        tracked, status = fb_klt_track(
-            self.prev_pyr, self.cur_pyr,
-            jnp.asarray(f.px), jnp.asarray(priors), jnp.asarray(f.valid),
-            win=cfg.klt_win_size, iters=cfg.max_iter,
-            eps=cfg.max_px_precision, max_err=cfg.klt_err,
-            max_fb_dist=cfg.max_fbklt_dist)
-        tracked = np.array(tracked)
-        status = np.array(status)
-
-        f.px = np.where(status[:, None], tracked, f.px).astype(np.float32)
-        f.valid &= status
-        # undistort tracked points
-        if f.valid.any():
-            und = np.array(self.cam.undistort_px(jnp.asarray(f.px[f.valid])))
-            f.px_und[f.valid] = und
-        self.prof.stop("1.FE_KLT")
-
-    # ------------------------------------------------------------------ #
-
-    def epipolar_filtering(self):
-        """5-pt-equivalent essential RANSAC outlier gate vs the reference
-        keyframe (`epipolar2d2dFiltering`, `visual_front_end.cpp:446-656`).
-
-        Uses the previous-KF observations of the same landmarks."""
-        cfg = self.cfg
-        f = self.frame
-        kfid = f.kf_id
-        if kfid < 0 or not self.map.kf_valid[kfid]:
-            return
-        sel = np.nonzero(f.valid & (f.lmids >= 0))[0]
-        if len(sel) < 16:
-            return
-        # KF pixel of each tracked landmark
-        kf_slots = {int(l): s for s, l in enumerate(self.map.obs_lmid[kfid])
-                    if l >= 0}
-        rows = [s for s in sel if int(f.lmids[s]) in kf_slots]
-        if len(rows) < 16:
-            return
-        self.prof.start("1.FE_EpiFilter")
-        kf_px = np.stack([
-            self.map.obs_px[kfid, kf_slots[int(f.lmids[s])]] for s in rows])
-        cur_px = f.px_und[rows]
-
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
-        xl = (kf_px - (cx, cy)) / (fx, fy)
-        xr = (cur_px - (cx, cy)) / (fx, fy)
-
-        # enough parallax? (`visual_front_end.cpp:530-535`)
-        parallax = np.linalg.norm(cur_px - kf_px, axis=-1).mean()
-        if parallax < 5.0:
-            self.prof.stop("1.FE_EpiFilter")
-            return
-
-        n = len(rows)
-        cap = ((n + 127) // 128) * 128
-        pad = cap - n
-        xl_p = np.concatenate([xl, np.zeros((pad, 2))]).astype(np.float32)
-        xr_p = np.concatenate([xr, np.zeros((pad, 2))]).astype(np.float32)
-        vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-
-        from ..geometry.essential import essential_ransac
-        E, inl, n_inl = essential_ransac(
-            self._next_key(), jnp.asarray(xl_p), jnp.asarray(xr_p),
-            jnp.asarray(vmask), focal=fx, err_th_px=cfg.ransac_err,
-            n_iters=cfg.ransac_iter)
-        inl = np.array(inl)[:n]
-        if int(n_inl) >= 10:
-            bad_rows = np.array(rows)[~inl]
-            f.valid[bad_rows] = False
-        self.prof.stop("1.FE_EpiFilter")
-
-    # ------------------------------------------------------------------ #
-
-    def compute_pose(self, T_pred: np.ndarray) -> bool:
-        """P3P (optional) + motion-only PnP (`computePose`,
+    def _p3p_fallback(self, T_pred: np.ndarray) -> bool:
+        """P3P-RANSAC + motion-only PnP re-localization, used when the
+        fused step's PnP fails (`computePose` fallback branch,
         `visual_front_end.cpp:659-851`)."""
         cfg = self.cfg
         f = self.frame

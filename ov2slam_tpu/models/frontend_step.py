@@ -1,0 +1,155 @@
+"""Fused per-frame front-end step: ONE device dispatch per frame.
+
+The reference's per-frame hot path (`trackMono`, `visual_front_end.cpp:
+65-128`) chains preprocess → KLT → epipolar filter → PnP as separate
+CPU stages. A naive port dispatches each as its own jit call; on a
+remote-attached TPU every dispatch pays the host↔device round trip, and
+even locally each costs dispatch overhead. This module fuses the whole
+per-frame device computation — CLAHE, pyramid build, landmark-projection
+priors, forward-backward KLT, undistortion, essential-RANSAC outlier
+gating, and two-pass motion-only PnP — into a single jitted function.
+
+Host keeps only slot bookkeeping and the keyframe decision; the pyramids
+stay resident on device between frames (returned as outputs, fed back as
+inputs).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import distort_fisheye, distort_radtan
+from ..core.image import build_pyramid, clahe
+from ..geometry.essential import essential_ransac
+from ..ops.klt import klt_track
+from ..solvers.pnp_refine import pnp_refine
+from ..utils import lie
+
+
+class CalibArrays(NamedTuple):
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    dist: jnp.ndarray      # (4,)
+
+
+def _undistort_px(px, calib: CalibArrays, fisheye: bool, iters: int = 8):
+    xn = (px - jnp.stack([calib.cx, calib.cy])) / jnp.stack(
+        [calib.fx, calib.fy])
+    fn = distort_fisheye if fisheye else distort_radtan
+
+    def body(_, xu):
+        return xn - (fn(xu, calib.dist) - xu)
+
+    xu = jax.lax.fori_loop(0, iters, body, xn)
+    return xu * jnp.stack([calib.fx, calib.fy]) + jnp.stack(
+        [calib.cx, calib.cy])
+
+
+@partial(jax.jit, static_argnames=(
+    "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
+    "ransac_iters", "pnp_iters", "fisheye"))
+def fused_track_step(
+    img,                     # (H, W) raw current frame
+    prev_pyr,                # tuple of prev-frame pyramid levels
+    px,                      # (N, 2) kp positions in prev frame
+    valid,                   # (N,) bool
+    lm_pos,                  # (N, 3) per-slot landmark positions (0 if none)
+    lm_is3d,                 # (N,) bool
+    T_pred,                  # (7,) predicted T_wc
+    kf_px_und,               # (N, 2) ref-KF undistorted px of same landmark
+    kf_pair_valid,           # (N,) bool
+    key,                     # PRNG key for RANSAC
+    calib: CalibArrays,
+    clahe_val,
+    max_fbklt_dist,
+    klt_err,
+    ransac_err_px,
+    robust_th,
+    levels: int = 4,
+    win: int = 9,
+    iters: int = 30,
+    use_clahe: bool = False,
+    do_epipolar: bool = True,
+    do_pose: bool = True,
+    ransac_iters: int = 100,
+    pnp_iters: int = 10,
+    fisheye: bool = False,
+):
+    """Returns (cur_pyr, tracked_px, tracked_und, status, T_new, pose_ok,
+    n_pose_inliers).
+
+    - status: track survived fb-KLT (+ epipolar gate + PnP chi2 gate for
+      3D slots when enabled).
+    - T_new: refined pose (T_pred when do_pose is off or failed).
+    - pose_ok: >= 5 PnP inliers.
+    """
+    f32 = img.dtype
+    im = clahe(img, clahe_val) if use_clahe else img
+    cur_pyr = tuple(build_pyramid(im, levels))
+
+    # --- priors: project 3D landmarks under the predicted pose ---------- #
+    T_cw = lie.pose_inverse(T_pred)
+    pc = lie.pose_apply(T_cw[None], lm_pos)
+    z = jnp.where(jnp.abs(pc[:, 2:3]) < 1e-3, 1e-3, pc[:, 2:3])
+    proj = pc[:, :2] / z * jnp.stack([calib.fx, calib.fy]) + jnp.stack(
+        [calib.cx, calib.cy])
+    H, W = img.shape
+    proj_ok = (lm_is3d & (pc[:, 2] > 0.1)
+               & (proj[:, 0] >= 0) & (proj[:, 0] <= W - 1)
+               & (proj[:, 1] >= 0) & (proj[:, 1] <= H - 1))
+    priors = jnp.where(proj_ok[:, None], proj, px)
+
+    # --- forward-backward KLT ------------------------------------------ #
+    fwd, st_f, _ = klt_track(prev_pyr, cur_pyr, px, priors, valid,
+                             win=win, iters=iters, max_err=klt_err)
+    bwd, st_b, _ = klt_track((cur_pyr[0],), (prev_pyr[0],), fwd, px, st_f,
+                             win=win, iters=iters, max_err=klt_err)
+    fb = jnp.linalg.norm(bwd - px, axis=-1)
+    status = st_f & st_b & (fb <= max_fbklt_dist)
+    tracked = jnp.where(status[:, None], fwd, px)
+
+    und = _undistort_px(tracked, calib, fisheye)
+
+    # --- epipolar 2d-2d gate vs the reference keyframe ------------------ #
+    if do_epipolar:
+        pair = status & kf_pair_valid
+        fxy = jnp.stack([calib.fx, calib.fy])
+        cxy = jnp.stack([calib.cx, calib.cy])
+        xl = (kf_px_und - cxy) / fxy
+        xr = (und - cxy) / fxy
+        key, k_e = jax.random.split(key)
+        E, epi_inl, n_epi = essential_ransac(
+            k_e, xl, xr, pair, focal=calib.fx, err_th_px=ransac_err_px,
+            n_iters=ransac_iters)
+        parallax = jnp.sum(
+            jnp.where(pair, jnp.linalg.norm(und - kf_px_und, axis=-1), 0.0)
+        ) / jnp.maximum(pair.sum(), 1)
+        # apply only when well-constrained (enough inliers & parallax,
+        # `visual_front_end.cpp:530-535,559-569`)
+        use_gate = (n_epi >= 10) & (parallax >= 5.0)
+        status = jnp.where(use_gate & pair, status & epi_inl, status)
+
+    # --- motion-only PnP ------------------------------------------------ #
+    if do_pose:
+        sel3d = status & lm_is3d
+        T_ref, pnp_inl, _ = pnp_refine(
+            T_pred, lm_pos, und, sel3d,
+            calib.fx, calib.fy, calib.cx, calib.cy,
+            robust_th=robust_th, iters=pnp_iters)
+        n_inl = pnp_inl.sum()
+        pose_ok = n_inl >= 5
+        T_new = jnp.where(pose_ok, T_ref, T_pred)
+        # drop 3D observations rejected by the chi2 gate
+        status = status & jnp.where(sel3d, pnp_inl, True)
+    else:
+        T_new = T_pred
+        pose_ok = jnp.asarray(False)
+        n_inl = jnp.asarray(0, jnp.int32)
+
+    return cur_pyr, tracked, und, status, T_new, pose_ok, n_inl

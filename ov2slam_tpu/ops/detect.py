@@ -136,18 +136,11 @@ def grid_detect(
     H, W = response.shape
     gy, gx = H // cell_size, W // cell_size
 
-    # mask pixels within cellsize/4 of an existing keypoint (reference uses
-    # cv::circle radius nhalfcell = ncellsize/4)
+    # existing keypoints, far-away sentinel where invalid
     radius = cell_size / 4.0
-    yy = jnp.arange(H, dtype=response.dtype)
-    xx = jnp.arange(W, dtype=response.dtype)
-    # distance test per existing kp, accumulated as a mask (M is small)
     ex = jnp.where(existing_valid[:, None], existing_kps,
                    jnp.full_like(existing_kps, -1e6))
-    dy2 = (yy[None, :] - ex[:, 1:2]) ** 2          # (M, H)
-    dx2 = (xx[None, :] - ex[:, 0:1]) ** 2          # (M, W)
-    near = (dy2[:, :, None] + dx2[:, None, :]) < radius * radius  # (M, H, W)
-    masked = jnp.where(near.any(axis=0), 0.0, response)
+    masked = response
 
     # occupied cells (cell of any existing kp) are skipped entirely
     cell_ids = (jnp.clip(ex[:, 1] // cell_size, 0, gy - 1).astype(jnp.int32)
@@ -173,7 +166,17 @@ def grid_detect(
     px = (cx * cell_size + bx).astype(jnp.int32)
     py = (cy * cell_size + by).astype(jnp.int32)
 
-    ok = (score > quality_th) & (~occupied)
+    # candidate-level proximity mask: drop a cell's winner if it lies
+    # within cellsize/4 of an existing keypoint (cheap (cells, M) distance
+    # test replacing the reference's per-pixel circle mask,
+    # `feature_extractor.cpp:314-316` — occupied-cell skipping already
+    # removes the bulk; this handles cell borders)
+    cand = jnp.stack([px.astype(response.dtype),
+                      py.astype(response.dtype)], -1)     # (cells, 2)
+    d2 = jnp.sum((cand[:, None, :] - ex[None, :, :]) ** 2, axis=-1)
+    near_existing = (d2 < radius * radius).any(axis=1)
+
+    ok = (score > quality_th) & (~occupied) & (~near_existing)
 
     if refine:
         resp_pad = jnp.pad(response, 1, mode="edge")
@@ -206,21 +209,24 @@ def grid_detect(
     return kps, score, ok
 
 
+@partial(jax.jit, static_argnames=("cell_size", "max_out"))
 def detect_single_scale(img, existing_kps, existing_valid, quality_level,
                         cell_size: int, max_out: int):
     """Shi-Tomasi single-scale grid detection (detectSingleScale,
     `feature_extractor.cpp:288-440`). quality_level is relative to the
-    image's max response, like cv::goodFeaturesToTrack."""
+    image's max response, like cv::goodFeaturesToTrack. One fused jit:
+    the response image never leaves the device."""
     resp = shi_tomasi_response(img)
     th = quality_level * jnp.max(resp)
     return grid_detect(resp, existing_kps, existing_valid, th,
                        cell_size=cell_size, max_out=max_out)
 
 
+@partial(jax.jit, static_argnames=("cell_size", "max_out"))
 def detect_grid_fast(img, existing_kps, existing_valid, fast_th,
                      cell_size: int, max_out: int):
     """FAST-9 grid detection (detectGridFAST,
-    `feature_extractor.cpp:443-570`)."""
+    `feature_extractor.cpp:443-570`). One fused jit."""
     resp = fast_response(img, fast_th)
     return grid_detect(resp, existing_kps, existing_valid, 0.0,
                        cell_size=cell_size, max_out=max_out, refine=False)
