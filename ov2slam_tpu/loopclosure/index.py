@@ -97,10 +97,19 @@ class PlaceIndex:
         usable = n - self.recent_mask
         if usable < 1:
             return -1, 0.0
-        scores = np.array(_match_scores(
-            jnp.asarray(self._desc), jnp.asarray(self._valid),
-            jnp.asarray(desc), jnp.asarray(valid),
-            jnp.int32(self.match_bits)))[:usable]
+        if jax.default_backend() == "tpu":
+            # Pallas kernel: VMEM-resident scoring, no HBM XOR cube
+            from ..ops.pallas_hamming import match_scores_pallas
+
+            scores = np.array(match_scores_pallas(
+                jnp.asarray(self._desc), jnp.asarray(self._valid),
+                jnp.asarray(desc), jnp.asarray(valid),
+                self.match_bits))[:usable]
+        else:
+            scores = np.array(_match_scores(
+                jnp.asarray(self._desc), jnp.asarray(self._valid),
+                jnp.asarray(desc), jnp.asarray(valid),
+                jnp.int32(self.match_bits)))[:usable]
         if exclude:
             for i, k in enumerate(self.kf_ids[:usable]):
                 if k in exclude:

@@ -39,8 +39,16 @@ class Mapper:
             self.T_lr = np.array(cam_r.T_c0_ci, np.float64)
             self.E_lr = np.array(essential_from_pose(jnp.asarray(
                 self.T_lr.astype(np.float32))))
+            # rectified pair? (rotation ~identity, baseline along x) —
+            # enables the epipolar SAD-scan prior (`getLineMinSAD`)
+            rot_angle = float(np.linalg.norm(
+                lie_np.so3_log(self.T_lr[:4])))
+            t = self.T_lr[4:7]
+            self._rectified = (rot_angle < 1e-3
+                               and abs(t[0]) > 10 * (abs(t[1]) + abs(t[2]) + 1e-12))
         else:
             self.T_lr = None
+            self._rectified = False
 
     # ------------------------------------------------------------------ #
 
@@ -73,9 +81,17 @@ class Mapper:
         px = self.map.obs_px[kfid].copy()  # undistorted left px
 
         # priors (`map_manager.cpp:396-489`): project 3D landmarks into the
-        # right camera; for 2D keypoints start at the same pixel (small-
-        # baseline prior; the pyramid absorbs the disparity).
+        # right camera; for 2D keypoints on a rectified pair, run the
+        # epipolar SAD scan (`getLineMinSAD`, `feature_tracker.cpp:140-206`);
+        # otherwise start at the same pixel (pyramid absorbs the disparity).
         priors = px.copy()
+        if self._rectified:
+            from ..ops.stereo_sad import line_min_sad
+
+            sad_priors, _, _ = line_min_sad(
+                left_pyr[0], right_pyr[0],
+                jnp.asarray(px.astype(np.float32)), jnp.asarray(valid))
+            priors = np.array(sad_priors)
         lmids = self.map.obs_lmid[kfid]
         rows3d = np.nonzero(valid & (lmids >= 0))[0]
         rows3d = rows3d[self.map.lm_is3d[lmids[rows3d]]

@@ -30,10 +30,14 @@ def _hat(d):
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
-@partial(jax.jit, static_argnames=("patch_size",))
-def extract_patches(img, top_left, patch_size: int):
-    """Extract (N, P, P) patches at float (x, y) ``top_left`` positions with
-    exact bilinear interpolation, as two MXU matmuls.
+@partial(jax.jit, static_argnames=("patch_size", "patch_width"))
+def extract_patches(img, top_left, patch_size: int,
+                    patch_width: int | None = None):
+    """Extract (N, P, Pw) patches at float (x, y) ``top_left`` positions
+    with exact bilinear interpolation, as two MXU matmuls.
+
+    ``patch_width`` defaults to ``patch_size`` (square); rectangular
+    patches serve the stereo epipolar SAD scan.
 
     Out-of-image rows/cols read as 0 (weights vanish outside), matching
     :func:`ov2slam_tpu.core.camera.bilinear_sample`'s out-of-bounds policy.
@@ -41,21 +45,21 @@ def extract_patches(img, top_left, patch_size: int):
     H, W = img.shape
     N = top_left.shape[0]
     P = patch_size
+    Pw = patch_width if patch_width is not None else patch_size
     dtype = img.dtype
 
     iy = jnp.arange(H, dtype=dtype)
     ix = jnp.arange(W, dtype=dtype)
-    pp = jnp.arange(P, dtype=dtype)
 
-    y_pos = top_left[:, 1:2] + pp[None, :]               # (N, P)
-    x_pos = top_left[:, 0:1] + pp[None, :]               # (N, P)
+    y_pos = top_left[:, 1:2] + jnp.arange(P, dtype=dtype)[None, :]
+    x_pos = top_left[:, 0:1] + jnp.arange(Pw, dtype=dtype)[None, :]
 
     Wr = _hat(iy[None, None, :] - y_pos[:, :, None])     # (N, P, H)
     rows = jnp.einsum("nph,hw->npw", Wr, img,
                       preferred_element_type=dtype)      # (N, P, W)
-    Wc = _hat(ix[None, None, :] - x_pos[:, :, None])     # (N, P, W)
+    Wc = _hat(ix[None, None, :] - x_pos[:, :, None])     # (N, Pw, W)
     out = jnp.einsum("npw,nqw->npq", rows, Wc,
-                     preferred_element_type=dtype)       # (N, P, P) [y, x]
+                     preferred_element_type=dtype)       # (N, P, Pw) [y, x]
     return out
 
 

@@ -68,3 +68,28 @@ def test_place_index_excludes_covisible():
     index.query(d, ok, exclude=set(range(10)))
     cand, _ = index.query(d, ok, exclude=set(range(10)))
     assert cand == -1
+
+
+def test_pallas_scores_match_xla():
+    """Pallas scoring kernel (interpret mode on CPU) == XLA scan."""
+    import jax.numpy as jnp
+
+    from ov2slam_tpu.loopclosure.index import _match_scores
+    from ov2slam_tpu.ops.pallas_hamming import match_scores_pallas
+
+    rng = np.random.default_rng(3)
+    M, N, Nq = 32, 128, 128
+    store = rng.integers(0, 2**32, (M, N, 8), dtype=np.uint32)
+    sv = rng.random((M, N)) > 0.2
+    q = store[7].copy()
+    qv = np.ones(Nq, bool)
+    ref = np.array(_match_scores(jnp.asarray(store), jnp.asarray(sv),
+                                 jnp.asarray(q), jnp.asarray(qv),
+                                 jnp.int32(48)))
+    pal = np.array(match_scores_pallas(jnp.asarray(store), jnp.asarray(sv),
+                                       jnp.asarray(q), jnp.asarray(qv), 48,
+                                       interpret=True))
+    np.testing.assert_allclose(pal, ref, atol=0)
+    # self-query hits everywhere except the ~20% invalidated descriptors
+    assert pal[7] > 0.7
+    assert pal[7] == pal.max()

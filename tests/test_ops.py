@@ -263,3 +263,46 @@ def test_mutual_match():
     d, ok = describe_brief(jnp.asarray(img), kps, jnp.ones(24, bool))
     idx, _ = mutual_match(d, ok, d, ok, max_dist_bits=10)
     np.testing.assert_array_equal(np.array(idx), np.arange(24))
+
+
+def test_line_min_sad_recovers_disparity():
+    """SAD scan finds the true disparity on a rectified synthetic pair."""
+    from ov2slam_tpu.io.synthetic import generate_sequence
+    from ov2slam_tpu.ops.stereo_sad import line_min_sad
+    from ov2slam_tpu.ops.detect import detect_single_scale
+    from ov2slam_tpu.utils import lie_np
+
+    seq = generate_sequence(n_frames=1, stereo=True, width=376, height=240,
+                            n_points=1500, seed=21, speed=0.05)
+    iml = jnp.asarray(seq.images_left[0])
+    imr = jnp.asarray(seq.images_right[0])
+    kps, _, ok = detect_single_scale(
+        iml, jnp.zeros((1, 2)), jnp.zeros(1, bool), 0.02,
+        cell_size=30, max_out=128)
+    priors, sad, disp = line_min_sad(iml, imr, kps, ok, win=7, max_disp=80)
+    priors, sad, disp = np.array(priors), np.array(sad), np.array(disp)
+    ok = np.array(ok)
+
+    # ground-truth disparity from the nearest rendered landmark
+    K = seq.K
+    M_cw = lie_np.pose_to_matrix(lie_np.pose_inverse(seq.gt_poses[0]))
+    pc = (M_cw[:3, :3] @ seq.points.T).T + M_cw[:3, 3]
+    vis = pc[:, 2] > 0.3
+    u = pc[vis, 0] / pc[vis, 2] * K[0, 0] + K[0, 2]
+    v = pc[vis, 1] / pc[vis, 2] * K[1, 1] + K[1, 2]
+    z = pc[vis, 2]
+    good = 0
+    checked = 0
+    for i in np.nonzero(ok)[0]:
+        d2 = (u - kps[i, 0]) ** 2 + (v - kps[i, 1]) ** 2
+        j = int(np.argmin(d2))
+        if d2[j] > 4.0:
+            continue
+        gt_disp = K[0, 0] * 0.11 / z[j]
+        if gt_disp >= 79:
+            continue
+        checked += 1
+        if abs(disp[i] - gt_disp) <= 1.5:
+            good += 1
+    assert checked >= 20
+    assert good / checked > 0.7, f"{good}/{checked}"
