@@ -52,6 +52,11 @@ class BAProblem:
     obs_px: np.ndarray          # (O, 2) f32 undistorted pixels
     obs_cam: np.ndarray         # (O,) int8: 0 = left cam, 1 = right cam
     obs_valid: np.ndarray       # (O,) bool
+    # anchored inverse-depth support (`buse_inv_depth`): per-landmark
+    # anchor KF (window index) + the measured left-cam undistorted pixel
+    # in the anchor KF (`optimizer.cpp:207-290`, `map_point.hpp:85-86`)
+    lm_anchor: np.ndarray = None       # (Lw,) int32 window idx (-1 pad)
+    lm_anchor_px: np.ndarray = None    # (Lw, 2) f32
 
     @property
     def n_obs(self) -> int:
@@ -381,9 +386,30 @@ class MapStore:
         Lw = len(lm_sel)
         lm_ids = np.full(max(Lw, 1), -1, np.int32)
         lm_pos = np.zeros((max(Lw, 1), 3), np.float32)
+        lm_anchor = np.full(max(Lw, 1), -1, np.int32)
+        lm_anchor_px = np.zeros((max(Lw, 1), 2), np.float32)
         if Lw:
             lm_ids[:Lw] = lm_sel
             lm_pos[:Lw] = self.lm_pos[lm_sel]
+
+            # anchor selection for inverse-depth BA: the landmark's stored
+            # anchor KF when it is inside the window, else its first
+            # in-window observer (the reference re-anchors on anchor loss,
+            # `map_manager.cpp:715-766` / `map_point.hpp:85-86`)
+            win_index = np.full(self.K, -1, np.int32)
+            win_index[win_arr] = np.arange(len(window), dtype=np.int32)
+            okf = self.lm_obs_kf[lm_sel]                      # (Lw, M)
+            oslot = self.lm_obs_slot[lm_sel]
+            wi = np.where(okf >= 0, win_index[np.maximum(okf, 0)], -1)
+            valid_o = wi >= 0
+            is_anch = valid_o & (okf == self.lm_anchor_kf[lm_sel][:, None])
+            col = np.where(is_anch.any(1), np.argmax(is_anch, 1),
+                           np.argmax(valid_o, 1))
+            rows = np.arange(Lw)
+            a_kf = np.maximum(okf[rows, col], 0)
+            a_slot = np.maximum(oslot[rows, col], 0)
+            lm_anchor[:Lw] = np.where(valid_o.any(1), wi[rows, col], -1)
+            lm_anchor_px[:Lw] = self.obs_px[a_kf, a_slot]
 
         return BAProblem(
             kf_ids=kf_ids,
@@ -396,6 +422,8 @@ class MapStore:
             obs_px=obs_px,
             obs_cam=obs_cam,
             obs_valid=obs_kf >= 0,
+            lm_anchor=lm_anchor,
+            lm_anchor_px=lm_anchor_px,
         )
 
     def apply_ba_result(self, problem: BAProblem, new_kf_poses: np.ndarray,

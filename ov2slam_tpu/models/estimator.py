@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..solvers.ba import BAParams, ba_solve_two_pass, make_ba_params
+from ..solvers.ba_invdepth import ba_solve_invdepth_two_pass
+from ..utils import lie_np
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
 
@@ -71,15 +73,30 @@ class Estimator:
             self.prof.stop("3.LocalBA")
             return 0
 
-        poses, points, inlier, cost = ba_solve_two_pass(
-            jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
-            jnp.asarray(prob.lm_pos),
-            jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
-            jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
-            jnp.asarray(prob.obs_valid), self.params,
-            robust_th=cfg.robust_mono_th,
-            iters_robust=cfg.ba_iters,
-            iters_l2=3 if cfg.apply_l2_after_robust else 0)
+        if cfg.use_inv_depth:
+            # anchored inverse-depth parameterization (`buse_inv_depth`,
+            # KSE3AnchInvDepth factors, `optimizer.cpp:207-290`)
+            rho, ray, obs_valid = self._invdepth_state(prob)
+            poses, points, _, inlier, cost = ba_solve_invdepth_two_pass(
+                jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
+                jnp.asarray(rho), jnp.asarray(prob.lm_anchor),
+                jnp.asarray(ray),
+                jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
+                jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
+                jnp.asarray(obs_valid), self.params,
+                robust_th=cfg.robust_mono_th,
+                iters_robust=cfg.ba_iters,
+                iters_l2=3 if cfg.apply_l2_after_robust else 0)
+        else:
+            poses, points, inlier, cost = ba_solve_two_pass(
+                jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
+                jnp.asarray(prob.lm_pos),
+                jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
+                jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
+                jnp.asarray(prob.obs_valid), self.params,
+                robust_th=cfg.robust_mono_th,
+                iters_robust=cfg.ba_iters,
+                iters_l2=3 if cfg.apply_l2_after_robust else 0)
 
         inlier = np.array(inlier)
         # landmark culling: drop landmarks whose observations are mostly
@@ -96,6 +113,31 @@ class Estimator:
             m.apply_ba_result(prob, np.array(poses), np.array(points), lm_ok)
         self.prof.stop("3.LocalBA")
         return int(prob.n_obs)
+
+    # ------------------------------------------------------------------ #
+
+    def _invdepth_state(self, prob):
+        """Derive (rho, anchor ray, masked obs_valid) for inverse-depth BA.
+
+        rho = 1 / depth of the current landmark estimate in its anchor
+        camera; the ray comes from the *measured* anchor pixel
+        (`optimizer.cpp:231-240`). Landmarks without a usable in-window
+        anchor have their observations masked out of the problem."""
+        p = self.params
+        anchor = np.maximum(prob.lm_anchor, 0)
+        T_cw_a = lie_np.pose_inverse(
+            prob.kf_poses[anchor].astype(np.float64))
+        p_anch = lie_np.pose_apply(T_cw_a, prob.lm_pos.astype(np.float64))
+        z = np.maximum(p_anch[:, 2], 1e-3)
+        rho = (1.0 / z).astype(np.float32)
+        fx, fy = float(p.fx), float(p.fy)
+        cx, cy = float(p.cx), float(p.cy)
+        ray = np.stack([(prob.lm_anchor_px[:, 0] - cx) / fx,
+                        (prob.lm_anchor_px[:, 1] - cy) / fy],
+                       -1).astype(np.float32)
+        lm_ok = (prob.lm_anchor >= 0) & (prob.lm_ids >= 0)
+        obs_valid = prob.obs_valid & lm_ok[np.maximum(prob.obs_lm, 0)]
+        return rho, ray, obs_valid
 
     # ------------------------------------------------------------------ #
 

@@ -43,6 +43,12 @@ class SlamManager:
                                   build_undist_map=cfg.do_undist)
         self.cam_r = (build_camera(cfg.cam_right, other=cfg.cam_left)
                       if cfg.stereo else None)
+        self._remap_l = None   # jitted image remap LUTs (rect/undist mode)
+        self._remap_r = None
+        if cfg.stereo and cfg.do_stereo_rect:
+            self._setup_stereo_rectification()
+        elif cfg.do_undist and self.cam_l.undist_map is not None:
+            self._setup_mono_undistortion()
         self.map = MapStore(cfg)
         self.frontend = FrontEnd(cfg, self.cam_l, self.map)
         self.mapper = Mapper(cfg, self.cam_l, self.cam_r, self.map)
@@ -60,12 +66,64 @@ class SlamManager:
 
     # ------------------------------------------------------------------ #
 
+    def _setup_stereo_rectification(self):
+        """Image-level stereo rectification (`bdo_stereo_rect`,
+        `setupStereoCalibration`, `ov2slam.cpp:343-426`): compute the
+        rectifying rotations + shared intrinsics, build remap LUTs, and
+        swap both camera models for the rectified pinhole pair (distortion
+        folded into the LUTs, D := 0 — `camera_calibration.cpp:134-194`)."""
+        import dataclasses
+
+        from ..core.camera import (bilinear_sample, compute_rectify_map,
+                                   stereo_rectify)
+        from ..utils import lie
+
+        R_l, R_r, K_new, baseline = stereo_rectify(self.cam_l, self.cam_r)
+        map_l = compute_rectify_map(self.cam_l, R_l, K_new)
+        map_r = compute_rectify_map(self.cam_r, R_r, K_new)
+        self._remap_l = jax.jit(lambda im: bilinear_sample(im, map_l))
+        self._remap_r = jax.jit(lambda im: bilinear_sample(im, map_r))
+
+        K_j = jnp.asarray(K_new, jnp.float32)
+        zero_d = jnp.zeros_like(self.cam_l.dist)
+        # rectified extrinsic: right camera at [+b, 0, 0] in the left
+        # rectified frame, shared orientation
+        T_c0_cr = lie.make_pose(
+            jnp.array([1.0, 0, 0, 0], jnp.float32),
+            jnp.array([baseline, 0, 0], jnp.float32))
+        self.cam_l = dataclasses.replace(
+            self.cam_l, model="pinhole", K=K_j, dist=zero_d,
+            T_c0_ci=lie.pose_identity(), undist_map=None)
+        self.cam_r = dataclasses.replace(
+            self.cam_r, model="pinhole", K=K_j, dist=zero_d,
+            T_c0_ci=T_c0_cr, undist_map=None)
+
+    def _setup_mono_undistortion(self):
+        """Image-level undistortion (`bdo_undist`): remap through the
+        undistortion LUT and zero the camera distortion
+        (`setUndistMap`, `camera_calibration.cpp:80-133`)."""
+        import dataclasses
+
+        from ..core.camera import bilinear_sample
+
+        lut = self.cam_l.undist_map
+        self._remap_l = jax.jit(lambda im: bilinear_sample(im, lut))
+        self.cam_l = dataclasses.replace(
+            self.cam_l, dist=jnp.zeros_like(self.cam_l.dist),
+            undist_map=None)
+
+    # ------------------------------------------------------------------ #
+
     def process_frame(self, img_left: np.ndarray,
                       img_right: Optional[np.ndarray] = None,
                       time: float = 0.0) -> np.ndarray:
         """Feed one frame (mono or stereo pair); returns current T_wc."""
         self.frame_id += 1
         fe = self.frontend
+        if self._remap_l is not None:
+            img_left = self._remap_l(jnp.asarray(img_left, jnp.float32))
+        if self._remap_r is not None and img_right is not None:
+            img_right = self._remap_r(jnp.asarray(img_right, jnp.float32))
         is_kf = fe.track_frame(img_left, time)
 
         if not fe.initialized:

@@ -1,0 +1,305 @@
+"""Anchored inverse-depth Schur-LM bundle adjustment.
+
+The reference's ``buse_inv_depth`` mode parameterizes each landmark as a
+single inverse depth rho along the measured ray of an *anchor* keyframe
+(`KSE3AnchInvDepth` / `RightCamKSE3AnchInvDepth` costs,
+`include/ceres_parametrization/ceres_parametrization/
+se3left_parametrization.hpp:171-274`; problem assembly
+`src/optimizer.cpp:207-290`; anchor bookkeeping `include/map_point.hpp:85-86`).
+
+World point of landmark l anchored to KF a with measured normalized ray
+``m = ((u-cx)/fx, (v-cy)/fy, 1)``:
+
+    X_w = T_wc[a] @ (m / rho)
+
+Each observation residual therefore depends on TWO poses (observer and
+anchor) plus the scalar rho. The TPU-native formulation keeps the Schur
+trick but with
+
+- per-landmark *scalar* Hessian (1x1 — trivially inverted),
+- a FULL dense pose-pose Hessian (Kw, Kw, 6, 6): observer-anchor cross
+  blocks land in the off-diagonal (the window is <= 32 poses, so the
+  dense reduced system stays a <=192x192 solve on-chip),
+- batched analytic Jacobians for both pose charts (left-multiplicative
+  update on T_cw, same convention as `solvers/ba.py`):
+      d p_obs / d dxi_obs  =  [I | -hat(p_obs)]
+      d X_w  / d dxi_anch  = -R_wc_a [I | -hat(p_anch)]
+  (for obs == anchor the two contributions cancel exactly, as they must —
+  the anchor's own reprojection is pose-invariant).
+
+Same LM accept/reject damping, Huber IRLS, chi2+depth outlier sweep and
+robust->L2 two-pass as the XYZ solver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+from .ba import BAParams, _huber_weight
+
+
+def _landmark_points(T_cw, lm_rho, lm_anchor, lm_ray):
+    """World positions from inverse-depth state.
+
+    Returns (X_w (Lw, 3), p_anch (Lw, 3) anchor-cam points, R_wc_a (Lw,3,3)).
+    """
+    rho = jnp.maximum(lm_rho, 1e-6)
+    m = jnp.concatenate([lm_ray, jnp.ones_like(lm_ray[..., :1])], -1)
+    p_anch = m / rho[:, None]                       # (Lw, 3)
+    T_wc_a = lie.pose_inverse(T_cw[lm_anchor])      # (Lw, 7)
+    X_w = lie.pose_apply(T_wc_a, p_anch)
+    R_wc_a = lie.quat_to_matrix(lie.pose_q(T_wc_a))
+    return X_w, p_anch, R_wc_a
+
+
+def _residuals_jacobians_inv(T_cw, lm_rho, lm_anchor, lm_ray,
+                             obs_kf, obs_lm, obs_px, obs_cam,
+                             params: BAParams):
+    """Residuals + analytic Jacobians for every observation.
+
+    Returns r (O,2), J_obs (O,2,6), J_anch (O,2,6), J_rho (O,2), depth_ok.
+    """
+    X_w, p_anch_all, R_wc_a_all = _landmark_points(
+        T_cw, lm_rho, lm_anchor, lm_ray)
+
+    Tk = T_cw[obs_kf]                         # (O, 7)
+    X = X_w[obs_lm]                           # (O, 3)
+    p_left = lie.pose_apply(Tk, X)
+
+    is_right = (obs_cam == 1)[:, None]
+    p_cam = jnp.where(is_right, lie.pose_apply(params.T_rl[None], p_left),
+                      p_left)
+
+    x, y, z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    depth_ok = z > 1e-3
+    zs = jnp.where(jnp.abs(z) < 1e-3, 1e-3, z)
+    u = params.fx * x / zs + params.cx
+    v = params.fy * y / zs + params.cy
+    r = jnp.stack([u, v], -1) - obs_px
+
+    iz = 1.0 / zs
+    zero = jnp.zeros_like(iz)
+    Jproj = jnp.stack([
+        params.fx * iz, zero, -params.fx * x * iz * iz,
+        zero, params.fy * iz, -params.fy * y * iz * iz,
+    ], -1).reshape(-1, 2, 3)
+    R_rl = lie.quat_to_matrix(lie.pose_q(params.T_rl))
+    Jp_cam = jnp.where(is_right[..., None],
+                       R_rl[None], jnp.eye(3, dtype=p_left.dtype)[None])
+    Jpi = Jproj @ Jp_cam                       # (O, 2, 3) d r / d p_left
+
+    # observer pose: d p_left / d dxi_obs = [I | -hat(p_left)]
+    hat_pl = lie.so3_hat(p_left)
+    J_obs = jnp.concatenate([Jpi, -Jpi @ hat_pl], axis=-1)    # (O, 2, 6)
+
+    # d r / d X_w = Jpi @ R_cw(observer)
+    R_cw = lie.quat_to_matrix(lie.pose_q(Tk))
+    J_Xw = Jpi @ R_cw                           # (O, 2, 3)
+
+    # anchor pose: d X_w / d dxi_anch = -R_wc_a [I | -hat(p_anch)]
+    p_anch = p_anch_all[obs_lm]                 # (O, 3)
+    R_wc_a = R_wc_a_all[obs_lm]                 # (O, 3, 3)
+    hat_pa = lie.so3_hat(p_anch)
+    J_anch_local = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), hat_pa.shape),
+         -hat_pa], axis=-1)                     # (O, 3, 6)
+    J_anch = -J_Xw @ (R_wc_a @ J_anch_local)    # (O, 2, 6)
+
+    # rho: d X_w / d rho = R_wc_a m * (-1/rho^2) = -p_anch_world_dir / rho
+    rho = jnp.maximum(lm_rho, 1e-6)[obs_lm]
+    dXw_drho = -jnp.einsum("oab,ob->oa", R_wc_a, p_anch) / rho[:, None]
+    J_rho = jnp.einsum("oab,ob->oa", J_Xw, dXw_drho)          # (O, 2)
+
+    return r, J_obs, J_anch, J_rho, depth_ok
+
+
+def _total_cost_inv(T_cw, lm_rho, lm_anchor, lm_ray, obs_kf, obs_lm,
+                    obs_px, obs_cam, w_obs, params, robust_th):
+    r, _, _, _, depth_ok = _residuals_jacobians_inv(
+        T_cw, lm_rho, lm_anchor, lm_ray, obs_kf, obs_lm, obs_px, obs_cam,
+        params)
+    chi2 = jnp.sum(r * r, -1)
+    rho = jnp.where(chi2 <= robust_th, chi2,
+                    2.0 * jnp.sqrt(robust_th * jnp.maximum(chi2, 0.0))
+                    - robust_th)
+    rho = jnp.where(robust_th > 0, rho, chi2)
+    return jnp.sum(rho * w_obs * depth_ok)
+
+
+def _solve_iteration_inv(T_cw, lm_rho, lam, lm_anchor, lm_ray,
+                         obs_kf, obs_lm, obs_px, obs_cam, w, free_pose,
+                         params):
+    """One damped Schur-LM step over (poses, rho)."""
+    Kw = T_cw.shape[0]
+    Lw = lm_rho.shape[0]
+
+    r, J_obs, J_anch, J_rho, depth_ok = _residuals_jacobians_inv(
+        T_cw, lm_rho, lm_anchor, lm_ray, obs_kf, obs_lm, obs_px, obs_cam,
+        params)
+    w = w * depth_ok
+    anch_kf = lm_anchor[obs_lm]                 # (O,) anchor pose index
+
+    # gauge: zero Jacobians of fixed poses
+    J_obs = J_obs * free_pose[obs_kf][:, None, None]
+    J_anch = J_anch * free_pose[anch_kf][:, None, None]
+
+    wJ_obs = J_obs * w[:, None, None]
+    wJ_anch = J_anch * w[:, None, None]
+    wJ_rho = J_rho * w[:, None]
+
+    # FULL pose-pose Hessian with observer/anchor cross blocks
+    Hpp = jnp.zeros((Kw, Kw, 6, 6), r.dtype)
+    Hpp = Hpp.at[obs_kf, obs_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
+    Hpp = Hpp.at[obs_kf, anch_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_anch))
+    Hpp = Hpp.at[anch_kf, obs_kf].add(jnp.einsum("oik,oil->okl", wJ_anch, J_obs))
+    Hpp = Hpp.at[anch_kf, anch_kf].add(jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
+
+    # scalar landmark Hessian + rhs
+    Hrr = jnp.zeros((Lw,), r.dtype).at[obs_lm].add(
+        jnp.einsum("oi,oi->o", wJ_rho, J_rho))
+    brho = jnp.zeros((Lw,), r.dtype).at[obs_lm].add(
+        -jnp.einsum("oi,oi->o", wJ_rho, r))
+
+    # pose rhs
+    bp = jnp.zeros((Kw, 6), r.dtype)
+    bp = bp.at[obs_kf].add(-jnp.einsum("oik,oi->ok", wJ_obs, r))
+    bp = bp.at[anch_kf].add(-jnp.einsum("oik,oi->ok", wJ_anch, r))
+
+    # pose-landmark cross blocks Z (Lw, Kw, 6)
+    Z = jnp.zeros((Lw, Kw, 6), r.dtype)
+    Z = Z.at[obs_lm, obs_kf].add(jnp.einsum("oik,oi->ok", wJ_obs, J_rho))
+    Z = Z.at[obs_lm, anch_kf].add(jnp.einsum("oik,oi->ok", wJ_anch, J_rho))
+
+    # LM damping
+    eyeK = jnp.eye(6, dtype=r.dtype)
+    diagH = jnp.diagonal(Hpp[jnp.arange(Kw), jnp.arange(Kw)],
+                         axis1=-2, axis2=-1)                # (Kw, 6)
+    Hpp_d = Hpp.at[jnp.arange(Kw), jnp.arange(Kw)].add(
+        (lam * jnp.maximum(diagH, 1e-6))[..., None] * eyeK[None])
+    Hrr_d = Hrr + lam * jnp.maximum(Hrr, 1e-6) + 1e-8
+
+    # Schur: S = Hpp_d - sum_l Z_l Z_l^T / Hrr_d_l
+    Zn = Z / Hrr_d[:, None, None]                            # (Lw, Kw, 6)
+    S = Hpp_d - jnp.einsum("lka,lqb->kqab", Zn, Z)
+    b_schur = bp - jnp.einsum("lka,l->ka", Zn, brho)
+
+    # identity-pad fixed/unobserved poses
+    S = jnp.where((free_pose[:, None] * free_pose[None, :])[..., None, None],
+                  S, 0.0)
+    S = S.at[jnp.arange(Kw), jnp.arange(Kw)].add(
+        (~free_pose.astype(bool))[:, None, None] * eyeK[None])
+    b_schur = b_schur * free_pose[:, None]
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(Kw * 6, Kw * 6)
+    dx_pose = jnp.linalg.solve(
+        Sd + 1e-6 * jnp.eye(Kw * 6, dtype=r.dtype),
+        b_schur.reshape(Kw * 6)).reshape(Kw, 6)
+
+    # back-substitute rho
+    corr = jnp.einsum("lka,ka->l", Z, dx_pose)
+    d_rho = (brho - corr) / Hrr_d
+
+    new_T_cw = lie.pose_left_update(T_cw, dx_pose * free_pose[:, None])
+    new_rho = jnp.maximum(lm_rho + d_rho, 1e-6)
+    return new_T_cw, new_rho
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def ba_solve_invdepth(
+    kf_poses_wc, kf_fixed, lm_rho, lm_anchor, lm_ray,
+    obs_kf, obs_lm, obs_px, obs_cam, obs_valid,
+    params: BAParams,
+    robust_th: float = 5.9915,
+    iters: int = 5,
+    lam0: float = 1e-3,
+):
+    """Anchored inverse-depth windowed BA.
+
+    Args:
+      kf_poses_wc: (Kw, 7) world-from-camera poses.
+      kf_fixed: (Kw,) bool gauge-fixed flags.
+      lm_rho: (Lw,) inverse depths (in the anchor camera).
+      lm_anchor: (Lw,) int window index of the anchor KF.
+      lm_ray: (Lw, 2) anchor normalized ray (mx, my) with mz = 1, from the
+        *measured* anchor pixel (`optimizer.cpp:231-240`).
+      obs_*: padded observation table as in `ba.ba_solve`.
+
+    Returns (new_kf_poses_wc, new_lm_pos (Lw,3) world positions,
+             new_lm_rho (Lw,), obs_inlier (O,), final_cost).
+    """
+    f32 = jnp.float32
+    obs_kf_c = jnp.maximum(obs_kf, 0)
+    obs_lm_c = jnp.maximum(obs_lm, 0)
+    anchor_c = jnp.maximum(lm_anchor, 0)
+
+    center = kf_poses_wc[0, 4:7]
+    poses = kf_poses_wc.astype(f32).at[:, 4:7].add(-center)
+    T_cw = lie.pose_inverse(poses)
+    rho = lm_rho.astype(f32)
+    free = (~kf_fixed).astype(f32)
+    w_valid = obs_valid.astype(f32)
+
+    def iter_body(carry, _):
+        T_cw, rho, lam = carry
+        r, _, _, _, depth_ok = _residuals_jacobians_inv(
+            T_cw, rho, anchor_c, lm_ray, obs_kf_c, obs_lm_c, obs_px,
+            obs_cam, params)
+        chi2 = jnp.sum(r * r, -1)
+        w_rob = jnp.where(robust_th > 0,
+                          _huber_weight(chi2, robust_th), 1.0)
+        w = w_valid * w_rob * depth_ok
+
+        cost0 = _total_cost_inv(T_cw, rho, anchor_c, lm_ray, obs_kf_c,
+                                obs_lm_c, obs_px, obs_cam, w_valid, params,
+                                robust_th)
+        T_new, rho_new = _solve_iteration_inv(
+            T_cw, rho, lam, anchor_c, lm_ray, obs_kf_c, obs_lm_c, obs_px,
+            obs_cam, w, free, params)
+        cost1 = _total_cost_inv(T_new, rho_new, anchor_c, lm_ray, obs_kf_c,
+                                obs_lm_c, obs_px, obs_cam, w_valid, params,
+                                robust_th)
+        accept = cost1 < cost0
+        T_cw = jnp.where(accept, T_new, T_cw)
+        rho = jnp.where(accept, rho_new, rho)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-6),
+                        jnp.minimum(lam * 4.0, 1e2))
+        return (T_cw, rho, lam), cost1
+
+    (T_cw, rho, _), costs = jax.lax.scan(
+        iter_body, (T_cw, rho, jnp.asarray(lam0, f32)), None, length=iters)
+
+    r, _, _, _, depth_ok = _residuals_jacobians_inv(
+        T_cw, rho, anchor_c, lm_ray, obs_kf_c, obs_lm_c, obs_px, obs_cam,
+        params)
+    chi2 = jnp.sum(r * r, -1)
+    gate = jnp.where(robust_th > 0, robust_th, 5.9915)
+    inlier = obs_valid & (chi2 <= gate) & depth_ok
+
+    X_w, _, _ = _landmark_points(T_cw, rho, anchor_c, lm_ray)
+    out_poses = lie.pose_inverse(T_cw).at[:, 4:7].add(center)
+    return out_poses, X_w + center, rho, inlier, costs[-1]
+
+
+@partial(jax.jit, static_argnames=("iters_robust", "iters_l2"))
+def ba_solve_invdepth_two_pass(
+    kf_poses_wc, kf_fixed, lm_rho, lm_anchor, lm_ray,
+    obs_kf, obs_lm, obs_px, obs_cam, obs_valid,
+    params: BAParams,
+    robust_th: float = 5.9915,
+    iters_robust: int = 5,
+    iters_l2: int = 3,
+):
+    """Robust pass -> chi2 cull -> L2 refinement (`optimizer.cpp:600-627`)."""
+    poses, _, rho, inlier, _ = ba_solve_invdepth(
+        kf_poses_wc, kf_fixed, lm_rho, lm_anchor, lm_ray,
+        obs_kf, obs_lm, obs_px, obs_cam, obs_valid, params,
+        robust_th=robust_th, iters=iters_robust)
+    poses, pos, rho, inlier2, cost = ba_solve_invdepth(
+        poses, kf_fixed, rho, lm_anchor, lm_ray,
+        obs_kf, obs_lm, obs_px, obs_cam, obs_valid & inlier, params,
+        robust_th=0.0, iters=iters_l2)
+    return poses, pos, rho, inlier & inlier2, cost
