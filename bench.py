@@ -85,7 +85,11 @@ def main():
 
     out = step(imgs[1], prev_pyr)
     jax.block_until_ready(out)
-    _ = np.array(out[1])
+    # NOTE: no np.array() readback before the timed loop — on a tunneled
+    # remote TPU (axon) a single device->host transfer switches the client
+    # into per-dispatch round-trips (~4 ms/dispatch of pure tunnel
+    # latency), which would measure the tunnel, not the hot path. The
+    # sanity readback happens after timing.
 
     # pipelined throughput over the stream: each frame's step feeds the
     # next frame's prev_pyr (true streaming dependency chain)
@@ -99,6 +103,10 @@ def main():
         outs.append(o)
     jax.block_until_ready(outs[-1])
     t1 = time.perf_counter()
+
+    # post-timing sanity readback: tracked keypoints must be finite
+    last = np.array(outs[-1][1])
+    assert np.isfinite(last).all(), "non-finite tracking output"
 
     fps = n_iters / (t1 - t0)
     baseline_fps = 20.0  # EuRoC camera rate = reference real-time floor

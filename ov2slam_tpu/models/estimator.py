@@ -15,8 +15,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..solvers.ba import BAParams, ba_solve_two_pass, make_ba_params
-from ..solvers.ba_invdepth import ba_solve_invdepth_two_pass
-from ..utils import lie_np
+from ..solvers.ba_invdepth import ba_solve_invdepth_two_pass, invdepth_state
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
 
@@ -76,7 +75,7 @@ class Estimator:
         if cfg.use_inv_depth:
             # anchored inverse-depth parameterization (`buse_inv_depth`,
             # KSE3AnchInvDepth factors, `optimizer.cpp:207-290`)
-            rho, ray, obs_valid = self._invdepth_state(prob)
+            rho, ray, obs_valid = invdepth_state(prob, self.params)
             poses, points, _, inlier, cost = ba_solve_invdepth_two_pass(
                 jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
                 jnp.asarray(rho), jnp.asarray(prob.lm_anchor),
@@ -113,31 +112,6 @@ class Estimator:
             m.apply_ba_result(prob, np.array(poses), np.array(points), lm_ok)
         self.prof.stop("3.LocalBA")
         return int(prob.n_obs)
-
-    # ------------------------------------------------------------------ #
-
-    def _invdepth_state(self, prob):
-        """Derive (rho, anchor ray, masked obs_valid) for inverse-depth BA.
-
-        rho = 1 / depth of the current landmark estimate in its anchor
-        camera; the ray comes from the *measured* anchor pixel
-        (`optimizer.cpp:231-240`). Landmarks without a usable in-window
-        anchor have their observations masked out of the problem."""
-        p = self.params
-        anchor = np.maximum(prob.lm_anchor, 0)
-        T_cw_a = lie_np.pose_inverse(
-            prob.kf_poses[anchor].astype(np.float64))
-        p_anch = lie_np.pose_apply(T_cw_a, prob.lm_pos.astype(np.float64))
-        z = np.maximum(p_anch[:, 2], 1e-3)
-        rho = (1.0 / z).astype(np.float32)
-        fx, fy = float(p.fx), float(p.fy)
-        cx, cy = float(p.cx), float(p.cy)
-        ray = np.stack([(prob.lm_anchor_px[:, 0] - cx) / fx,
-                        (prob.lm_anchor_px[:, 1] - cy) / fy],
-                       -1).astype(np.float32)
-        lm_ok = (prob.lm_anchor >= 0) & (prob.lm_ids >= 0)
-        obs_valid = prob.obs_valid & lm_ok[np.maximum(prob.obs_lm, 0)]
-        return rho, ray, obs_valid
 
     # ------------------------------------------------------------------ #
 

@@ -38,8 +38,35 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from ..utils import lie
+import numpy as np
+
+from ..utils import lie, lie_np
 from .ba import BAParams, _huber_weight
+
+
+def invdepth_state(prob, params: BAParams):
+    """Host-side derivation of the inverse-depth state for a BAProblem.
+
+    rho = 1 / depth of the current landmark estimate in its anchor camera;
+    the anchor ray comes from the *measured* anchor pixel
+    (`optimizer.cpp:231-240`). Landmarks without a usable in-window anchor
+    have their observations masked out of the problem.
+
+    Returns (rho (Lw,), ray (Lw, 2), masked obs_valid (O,)).
+    """
+    anchor = np.maximum(prob.lm_anchor, 0)
+    T_cw_a = lie_np.pose_inverse(prob.kf_poses[anchor].astype(np.float64))
+    p_anch = lie_np.pose_apply(T_cw_a, prob.lm_pos.astype(np.float64))
+    z = np.maximum(p_anch[:, 2], 1e-3)
+    rho = (1.0 / z).astype(np.float32)
+    fx, fy = float(params.fx), float(params.fy)
+    cx, cy = float(params.cx), float(params.cy)
+    ray = np.stack([(prob.lm_anchor_px[:, 0] - cx) / fx,
+                    (prob.lm_anchor_px[:, 1] - cy) / fy],
+                   -1).astype(np.float32)
+    lm_ok = (prob.lm_anchor >= 0) & (prob.lm_ids >= 0)
+    obs_valid = prob.obs_valid & lm_ok[np.maximum(prob.obs_lm, 0)]
+    return rho, ray, obs_valid
 
 
 def _landmark_points(T_cw, lm_rho, lm_anchor, lm_ray):

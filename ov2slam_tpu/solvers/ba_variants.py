@@ -35,15 +35,34 @@ def _solve_window(map_store, window, fixed_ids, params: BAParams,
         window, fixed_ids, max_kfs=max_kfs, max_obs=max_obs)
     if prob.n_obs < 10:
         return 0
-    poses, points, inlier, _ = ba_solve_two_pass(
-        jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
-        jnp.asarray(prob.lm_pos),
-        jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
-        jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
-        jnp.asarray(prob.obs_valid), params,
-        robust_th=cfg.robust_mono_th,
-        iters_robust=iters or cfg.ba_iters,
-        iters_l2=3 if cfg.apply_l2_after_robust else 0)
+    if getattr(cfg, "use_inv_depth", False):
+        # the reference applies the anchored inverse-depth
+        # parameterization to every BA problem type when `buse_inv_depth`
+        # is set (`optimizer.cpp:207-290` and the looseBA/fullBA/
+        # structureOnlyBA equivalents)
+        from .ba_invdepth import ba_solve_invdepth_two_pass, invdepth_state
+
+        rho, ray, obs_valid = invdepth_state(prob, params)
+        poses, points, _, inlier, _ = ba_solve_invdepth_two_pass(
+            jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
+            jnp.asarray(rho), jnp.asarray(prob.lm_anchor),
+            jnp.asarray(ray),
+            jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
+            jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
+            jnp.asarray(obs_valid), params,
+            robust_th=cfg.robust_mono_th,
+            iters_robust=iters or cfg.ba_iters,
+            iters_l2=3 if cfg.apply_l2_after_robust else 0)
+    else:
+        poses, points, inlier, _ = ba_solve_two_pass(
+            jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
+            jnp.asarray(prob.lm_pos),
+            jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
+            jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
+            jnp.asarray(prob.obs_valid), params,
+            robust_th=cfg.robust_mono_th,
+            iters_robust=iters or cfg.ba_iters,
+            iters_l2=3 if cfg.apply_l2_after_robust else 0)
     map_store.apply_ba_result(prob, np.array(poses), np.array(points))
     return int(prob.n_obs)
 
