@@ -85,6 +85,35 @@ class PlaceIndex:
         self._valid[i] = valid
         self.kf_ids.append(kfid)
 
+    def _raw_scores(self, desc: np.ndarray, valid: np.ndarray,
+                    usable: int) -> np.ndarray:
+        if jax.default_backend() == "tpu":
+            # Pallas kernel: VMEM-resident scoring, no HBM XOR cube
+            from ..ops.pallas_hamming import match_scores_pallas
+
+            return np.array(match_scores_pallas(
+                jnp.asarray(self._desc), jnp.asarray(self._valid),
+                jnp.asarray(desc), jnp.asarray(valid),
+                self.match_bits))[:usable]
+        return np.array(_match_scores(
+            jnp.asarray(self._desc), jnp.asarray(self._valid),
+            jnp.asarray(desc), jnp.asarray(valid),
+            jnp.int32(self.match_bits)))[:usable]
+
+    def query_best(self, desc: np.ndarray, valid: np.ndarray,
+                   top_k: int = 3) -> List[Tuple[int, float]]:
+        """Top-k scoring keyframes with NO recency mask and NO island
+        temporal-consistency gate — used for relocalization after tracking
+        loss, where a single lost frame must match immediately and recent
+        keyframes are the most likely matches."""
+        n = len(self.kf_ids)
+        if n == 0 or self._desc is None:
+            return []
+        scores = self._raw_scores(desc, valid, n)
+        order = np.argsort(-scores)[:top_k]
+        return [(self.kf_ids[int(i)], float(scores[int(i)]))
+                for i in order]
+
     def query(self, desc: np.ndarray, valid: np.ndarray,
               exclude: Optional[set] = None) -> Tuple[int, float]:
         """Best loop candidate for a query descriptor set.
@@ -97,19 +126,7 @@ class PlaceIndex:
         usable = n - self.recent_mask
         if usable < 1:
             return -1, 0.0
-        if jax.default_backend() == "tpu":
-            # Pallas kernel: VMEM-resident scoring, no HBM XOR cube
-            from ..ops.pallas_hamming import match_scores_pallas
-
-            scores = np.array(match_scores_pallas(
-                jnp.asarray(self._desc), jnp.asarray(self._valid),
-                jnp.asarray(desc), jnp.asarray(valid),
-                self.match_bits))[:usable]
-        else:
-            scores = np.array(_match_scores(
-                jnp.asarray(self._desc), jnp.asarray(self._valid),
-                jnp.asarray(desc), jnp.asarray(valid),
-                jnp.int32(self.match_bits)))[:usable]
+        scores = self._raw_scores(desc, valid, usable)
         if exclude:
             for i, k in enumerate(self.kf_ids[:usable]):
                 if k in exclude:

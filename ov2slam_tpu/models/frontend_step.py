@@ -145,8 +145,11 @@ def fused_track_step(
         n_inl = pnp_inl.sum()
         pose_ok = n_inl >= 5
         T_new = jnp.where(pose_ok, T_ref, T_pred)
-        # drop 3D observations rejected by the chi2 gate
-        status = status & jnp.where(sel3d, pnp_inl, True)
+        # drop 3D observations rejected by the chi2 gate — but only when
+        # the solve succeeded; the outlier mask of a failed PnP is
+        # meaningless and must not wipe the track set (the reference goes
+        # to P3P with the keypoints intact, `visual_front_end.cpp:790-818`)
+        status = status & jnp.where(sel3d & pose_ok, pnp_inl, True)
     else:
         T_new = T_pred
         pose_ok = jnp.asarray(False)

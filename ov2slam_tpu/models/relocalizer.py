@@ -1,0 +1,256 @@
+"""Map-preserving relocalization after tracking loss.
+
+Beyond-reference capability: OV2SLAM resets (discarding front-end state,
+`SlamManager::reset`, `ov2slam.cpp:428-455`) when tracking starves
+(`visual_front_end.cpp:100-102`). Here we first try to re-localize the
+lost frame against the existing map using the place-recognition stack:
+
+  detect + BRIEF describe the lost frame
+  -> PlaceIndex top-k query (no recency mask, no island gate)
+  -> 2-NN Hamming matching to each candidate keyframe's landmarks
+  -> batched P3P RANSAC on the 3D matches
+  -> motion-only PnP refinement
+  -> on success: restore the front-end frame (pose + matched keypoint
+     slots) so KLT resumes tracking the old landmarks.
+
+Only on failure does the manager fall back to the reference's reset.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.pnp import p3p_ransac
+from ..ops.brief import describe_brief
+from ..ops.detect import detect_grid_fast, detect_single_scale
+from ..ops.matching import knn_match_2nn
+from ..solvers.pnp_refine import pnp_refine
+from ..utils.config import SlamConfig
+from ..utils.profiler import Profiler
+
+
+class Relocalizer:
+    def __init__(self, cfg: SlamConfig, cam_l, map_store, place_index):
+        self.cfg = cfg
+        self.cam = cam_l
+        self.map = map_store
+        self.index = place_index
+        self.prof = Profiler.instance()
+        self._rng = jax.random.PRNGKey(23)
+        self.n_relocs = 0
+
+    def _key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    # ------------------------------------------------------------------ #
+
+    def try_relocalize(self, frontend) -> bool:
+        """Attempt to re-localize the front-end's current frame against
+        the map. On success the frame's pose and keypoint slots are
+        restored in place and True is returned."""
+        cfg = self.cfg
+        m = self.map
+        if frontend.cur_pyr is None or len(self.index.kf_ids) < 2:
+            return False
+        self.prof.start("5.Relocalize")
+        try:
+            ok = self._attempt(frontend)
+        finally:
+            self.prof.stop("5.Relocalize")
+        if ok:
+            self.n_relocs += 1
+        return ok
+
+    def _attempt(self, frontend) -> bool:
+        cfg = self.cfg
+        m = self.map
+        img = frontend.cur_pyr[0]
+        N = cfg.max_kps
+
+        # 1) fresh detections + descriptors on the lost frame
+        empty_px = jnp.zeros((N, 2), jnp.float32)
+        empty_valid = jnp.zeros(N, bool)
+        if cfg.use_singlescale_detector or cfg.use_shi_tomasi:
+            kps, _, det_ok = detect_single_scale(
+                img, empty_px, empty_valid, frontend._quality,
+                cell_size=cfg.max_dist, max_out=N)
+        else:
+            kps, _, det_ok = detect_grid_fast(
+                img, empty_px, empty_valid, frontend._fast_th,
+                cell_size=cfg.max_dist, max_out=N)
+        desc, _ = describe_brief(img, kps, det_ok)
+        kps_np = np.array(kps)
+        det_ok_np = np.array(det_ok)
+        desc_np = np.array(desc)
+        if det_ok_np.sum() < 15:
+            return False
+
+        # 2) place-recognition candidates (best-first)
+        for cand, score in self.index.query_best(desc_np, det_ok_np,
+                                                 top_k=3):
+            if not m.kf_valid[cand]:
+                continue
+            T = self._verify_candidate(kps_np, desc_np, det_ok_np, cand)
+            if T is None:
+                continue
+            T_wc, rows, lmids, n_inl = T
+            rows, lmids = self._replenish(
+                T_wc, kps_np, desc_np, det_ok_np, rows, lmids, cand)
+            self._restore_frame(frontend, T_wc, kps_np, rows, lmids, cand)
+            return True
+        return False
+
+    # ------------------------------------------------------------------ #
+
+    def _replenish(self, T_wc, kps, desc, det_ok, rows, lmids, cand):
+        """Grow the recovered observation set: project the candidate's
+        local map (cand + covisible KFs' 3D landmarks) into the recovered
+        pose and claim nearby detected keypoints whose BRIEF descriptor
+        agrees (the relocalization analogue of `matchingToLocalMap`,
+        `mapper.cpp:469-774`)."""
+        from ..utils import lie_np
+
+        m = self.map
+        assigned_lm = set(int(l) for l in lmids)
+        cov = m.covisible_kfs(cand, min_score=1, max_n=10)
+        cand_lms = []
+        for k in [cand] + [int(c) for c in cov]:
+            for l in m.kf_landmark_ids(k, only_3d=True):
+                l = int(l)
+                if l not in assigned_lm:
+                    assigned_lm.add(l)
+                    cand_lms.append(l)
+        if not cand_lms:
+            return rows, lmids
+        cand_lms = np.asarray(cand_lms, np.int32)
+
+        T_cw = lie_np.pose_inverse(T_wc.astype(np.float64))
+        pc = lie_np.pose_apply(T_cw, m.lm_pos[cand_lms].astype(np.float64))
+        front = pc[:, 2] > 0.1
+        cand_lms, pc = cand_lms[front], pc[front]
+        if len(cand_lms) == 0:
+            return rows, lmids
+        proj = np.array(self.cam.project_cam_to_image_dist(
+            jnp.asarray(pc.astype(np.float32))))
+        inb = ((proj[:, 0] > 5) & (proj[:, 0] < self.cam.width - 6)
+               & (proj[:, 1] > 5) & (proj[:, 1] < self.cam.height - 6))
+        cand_lms, proj = cand_lms[inb], proj[inb]
+        if len(cand_lms) == 0:
+            return rows, lmids
+
+        free = det_ok.copy()
+        free[rows] = False
+        free_rows = np.nonzero(free)[0]
+        if len(free_rows) == 0:
+            return rows, lmids
+
+        # nearest free detection within radius + Hamming agreement
+        d2 = ((proj[:, None, :] - kps[free_rows][None, :, :]) ** 2).sum(-1)
+        radius2 = (2.0 * self.cfg.ransac_err) ** 2
+        lm_desc = m.lm_desc[cand_lms]                      # (L, 8) u32
+        ham = np.bitwise_count(
+            np.bitwise_xor(lm_desc[:, None, :],
+                           desc[free_rows][None, :, :])).sum(-1)
+        score = np.where((d2 <= radius2) & (ham <= 80), d2, np.inf)
+
+        add_rows, add_lms = [], []
+        taken = np.zeros(len(free_rows), bool)
+        order = np.argsort(score.min(axis=1))
+        for li in order:
+            j = int(np.argmin(np.where(taken, np.inf, score[li])))
+            if not np.isfinite(score[li, j]) or taken[j]:
+                continue
+            taken[j] = True
+            add_rows.append(int(free_rows[j]))
+            add_lms.append(int(cand_lms[li]))
+        if add_rows:
+            rows = np.concatenate([rows, np.asarray(add_rows)])
+            lmids = np.concatenate([lmids, np.asarray(add_lms)])
+        return rows, lmids
+
+    # ------------------------------------------------------------------ #
+
+    def _verify_candidate(self, kps, desc, det_ok, cand):
+        """knn match -> P3P RANSAC -> PnP refine against one candidate KF.
+
+        Returns (T_wc, kp_rows, lm_ids, n_inliers) or None."""
+        cfg = self.cfg
+        m = self.map
+
+        cand_valid = m.obs_lmid[cand] >= 0
+        idx, _ = knn_match_2nn(
+            jnp.asarray(desc), jnp.asarray(det_ok),
+            jnp.asarray(m.obs_desc[cand]), jnp.asarray(cand_valid),
+            max_dist_bits=128, ratio=0.85)
+        idx = np.array(idx)
+        matched = np.nonzero(idx >= 0)[0]
+        if len(matched) < 10:
+            return None
+
+        lm_cand = m.obs_lmid[cand][idx[matched]]
+        is3d = m.lm_valid[lm_cand] & m.lm_is3d[lm_cand]
+        rows3d = matched[is3d]
+        lms3d = lm_cand[is3d]
+        if len(rows3d) < 6:
+            return None
+
+        N = cfg.max_kps
+        pts = np.zeros((N, 3), np.float32)
+        px_u = np.zeros((N, 2), np.float32)
+        vmask = np.zeros(N, bool)
+        k3 = len(rows3d)
+        pts[:k3] = m.lm_pos[lms3d]
+        px_u[:k3] = np.array(self.cam.undistort_px(
+            jnp.asarray(kps[rows3d])))
+        vmask[:k3] = True
+
+        fx, fy = float(self.cam.fx), float(self.cam.fy)
+        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        bv = np.array(self.cam.bearing(jnp.asarray(px_u)))
+        T_p3p, p3p_inl, n_p3p = p3p_ransac(
+            self._key(), jnp.asarray(bv), jnp.asarray(pts),
+            jnp.asarray(px_u), jnp.asarray(vmask), fx, fy, cx, cy,
+            err_th=cfg.ransac_err, n_iters=cfg.ransac_iter)
+        if int(n_p3p) < 6:
+            return None
+
+        T_ref, inl, _ = pnp_refine(
+            jnp.asarray(T_p3p), jnp.asarray(pts), jnp.asarray(px_u),
+            jnp.asarray(vmask) & jnp.asarray(np.array(p3p_inl)),
+            fx, fy, cx, cy, robust_th=cfg.robust_mono_th, iters=10)
+        inl = np.array(inl)[:k3]
+        # gate scaled to the keypoint budget like the loop closer's
+        # >=30-of-~300 acceptance (`loop_closer.cpp:288`)
+        gy, gx = cfg.grid_cells
+        gate = max(10, int(0.1 * gy * gx))
+        if inl.sum() < gate:
+            return None
+        return (np.array(T_ref), rows3d[inl], lms3d[inl], int(inl.sum()))
+
+    # ------------------------------------------------------------------ #
+
+    def _restore_frame(self, frontend, T_wc, kps, rows, lmids, cand):
+        """Rebuild the front-end frame state from the relocalized matches
+        so the next frame's KLT resumes tracking the old landmarks."""
+        f = frontend.frame
+        f.px[:] = 0.0
+        f.px_und[:] = 0.0
+        f.lmids[:] = -1
+        f.valid[:] = False
+
+        n = len(rows)
+        slots = np.arange(n)
+        f.px[slots] = kps[rows]
+        f.px_und[slots] = np.array(self.cam.undistort_px(
+            jnp.asarray(kps[rows])))
+        f.lmids[slots] = lmids
+        f.valid[slots] = True
+        f.T_wc = T_wc.astype(np.float32)
+        f.kf_id = int(cand)
+        frontend.motion.reset()
+        frontend.motion.update(T_wc.astype(np.float64), f.time)

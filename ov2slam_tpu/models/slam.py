@@ -54,14 +54,20 @@ class SlamManager:
         self.mapper = Mapper(cfg, self.cam_l, self.cam_r, self.map)
         self.estimator = Estimator(cfg, self.cam_l, self.cam_r, self.map)
         self.loop_closer = None
+        self.relocalizer = None
         if (cfg.use_loop_closer if use_loop_closer is None else use_loop_closer):
             from ..loopclosure.closer import LoopCloser
+            from ..models.relocalizer import Relocalizer
             self.loop_closer = LoopCloser(cfg, self.cam_l, self.map,
                                           self.estimator)
+            if cfg.use_relocalizer:
+                self.relocalizer = Relocalizer(
+                    cfg, self.cam_l, self.map, self.loop_closer.index)
         self.logger = TrajectoryLogger()
         self.prof = Profiler.instance()
         self.frame_id = -1
         self.n_resets = 0
+        self._reloc_patience = 0   # frames left to keep trying relocation
         self._rng = jax.random.PRNGKey(42)
 
     # ------------------------------------------------------------------ #
@@ -124,6 +130,29 @@ class SlamManager:
             img_left = self._remap_l(jnp.asarray(img_left, jnp.float32))
         if self._remap_r is not None and img_right is not None:
             img_right = self._remap_r(jnp.asarray(img_right, jnp.float32))
+
+        # post-reset relocalization window (beyond-reference): while lost
+        # with a populated map, try to re-localize each incoming frame
+        # against the place index instead of bootstrapping a spurious
+        # keyframe at a stale pose; bounded patience, then fall back to
+        # the reference's re-bootstrap
+        if (self.relocalizer is not None and self._reloc_patience > 0
+                and self.map.n_keyframes > 1 and fe.frame.kf_id < 0
+                and fe.frame.n_valid == 0):
+            fe.preprocess(img_left)
+            fe.frame.time = time
+            self._reloc_patience -= 1
+            if self.relocalizer.try_relocalize(fe):
+                self._reloc_patience = 0
+                T = fe.frame.T_wc.astype(np.float64)
+                self.logger.add_pose(time, T, False, fe.frame.kf_id, None)
+                return fe.frame.T_wc
+            if self._reloc_patience > 0:
+                # still lost: hold the last pose, no spurious keyframe
+                self.logger.add_pose(
+                    time, fe.frame.T_wc.astype(np.float64), False, -1, None)
+                return fe.frame.T_wc
+            # patience exhausted: fall through to the bootstrap path
         is_kf = fe.track_frame(img_left, time)
 
         if not fe.initialized:
@@ -136,17 +165,31 @@ class SlamManager:
             else:
                 is_kf = self._check_mono_init() or is_kf
 
-        if is_kf:
+        # tracking-failure detection BEFORE keyframe creation: a starving
+        # frame must not become a keyframe (`visual_front_end.cpp:100-102`;
+        # the reference's absolute 50/20-kp thresholds are scaled to the
+        # grid budget: 160 cells at EuRoC resolution -> 31% mono / 12% stereo)
+        cap = self.cfg.grid_cells[0] * self.cfg.grid_cells[1]
+        # proportional to the kp budget like the reference's 20-of-~160
+        # stereo / 50-of-~160 mono absolute gates; a floor of 6 keeps PnP
+        # solvable, and anything above must stay below normal working
+        # counts or the pipeline can never replenish through keyframes
+        reset_th = max(6, int((0.12 if self.cfg.stereo else 0.3) * cap))
+        starved = (fe.initialized and self.map.n_keyframes > 1
+                   and fe.frame.n_valid < reset_th)
+
+        if is_kf and not starved:
             kfid = self._create_keyframe(time, img_right)
             fe.frame.kf_id = kfid
-        # tracking-failure reset (`visual_front_end.cpp:100-102`; the
-        # reference's absolute 50/20-kp thresholds are scaled to the grid
-        # budget: 160 cells at EuRoC resolution -> 31% mono / 12% stereo)
-        cap = self.cfg.grid_cells[0] * self.cfg.grid_cells[1]
-        reset_th = max(15, int((0.12 if self.cfg.stereo else 0.3) * cap))
-        if fe.initialized and self.map.n_keyframes > 1 \
-                and fe.frame.n_valid < reset_th:
-            self._reset()
+        if starved:
+            # beyond-reference: try map-preserving relocalization via the
+            # place-recognition index before falling back to the
+            # reference's reset (`ov2slam.cpp:428-455`)
+            if not (self.relocalizer is not None
+                    and self.relocalizer.try_relocalize(fe)):
+                self._reset()
+                if self.relocalizer is not None:
+                    self._reloc_patience = 20
 
         T = fe.frame.T_wc.astype(np.float64)
         kf_id = fe.frame.kf_id

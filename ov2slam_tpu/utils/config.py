@@ -83,6 +83,10 @@ class SlamConfig:
     debug: bool = False
     log_timings: bool = False
     use_loop_closer: bool = False   # `buse_loop_closer`
+    # beyond-reference: map-preserving relocalization after tracking loss
+    # (requires the loop closer's place index); falls back to the
+    # reference's reset when off or unsuccessful
+    use_relocalizer: bool = True
 
     # --- cameras ----------------------------------------------------------
     cam_left: CameraConfig = dataclasses.field(default_factory=CameraConfig)
