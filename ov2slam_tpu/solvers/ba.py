@@ -233,7 +233,9 @@ def ba_solve(
 
     def iter_body(carry, _):
         T_cw, points, lam = carry
-        # Huber IRLS weights at current state
+        # Huber IRLS weights at current state; cost0 reuses the same
+        # residual pass (one of the reference's 4 R/J sweeps per iter
+        # folded away)
         r, _, _, depth_ok = _residuals_jacobians(
             T_cw, points, obs_kf_c, obs_lm_c, obs_px, obs_cam, params)
         chi2 = jnp.sum(r * r, -1)
@@ -241,8 +243,11 @@ def ba_solve(
                           _huber_weight(chi2, robust_th), 1.0)
         w = w_valid * w_rob * depth_ok
 
-        cost0 = _total_cost(T_cw, points, obs_kf_c, obs_lm_c, obs_px,
-                            obs_cam, w_valid, params, robust_th)
+        rho0 = jnp.where(chi2 <= robust_th, chi2,
+                         2.0 * jnp.sqrt(robust_th * jnp.maximum(chi2, 0.0))
+                         - robust_th)
+        rho0 = jnp.where(robust_th > 0, rho0, chi2)
+        cost0 = jnp.sum(rho0 * w_valid * depth_ok)
         T_new, p_new = _solve_normal_iteration(
             T_cw, points, lam, obs_kf_c, obs_lm_c, obs_px, obs_cam, w,
             free, params)

@@ -178,28 +178,49 @@ def _solve_iteration_inv(T_cw, lm_rho, lam, lm_anchor, lm_ray,
     wJ_anch = J_anch * w[:, None, None]
     wJ_rho = J_rho * w[:, None]
 
-    # FULL pose-pose Hessian with observer/anchor cross blocks
-    Hpp = jnp.zeros((Kw, Kw, 6, 6), r.dtype)
-    Hpp = Hpp.at[obs_kf, obs_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
-    Hpp = Hpp.at[obs_kf, anch_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_anch))
-    Hpp = Hpp.at[anch_kf, obs_kf].add(jnp.einsum("oik,oil->okl", wJ_anch, J_obs))
-    Hpp = Hpp.at[anch_kf, anch_kf].add(jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
-
-    # scalar landmark Hessian + rhs
+    # scalar landmark Hessian + rhs (obs_lm scatter: few collisions/lm)
     Hrr = jnp.zeros((Lw,), r.dtype).at[obs_lm].add(
         jnp.einsum("oi,oi->o", wJ_rho, J_rho))
     brho = jnp.zeros((Lw,), r.dtype).at[obs_lm].add(
         -jnp.einsum("oi,oi->o", wJ_rho, r))
 
-    # pose rhs
-    bp = jnp.zeros((Kw, 6), r.dtype)
-    bp = bp.at[obs_kf].add(-jnp.einsum("oik,oi->ok", wJ_obs, r))
-    bp = bp.at[anch_kf].add(-jnp.einsum("oik,oi->ok", wJ_anch, r))
-
-    # pose-landmark cross blocks Z (Lw, Kw, 6)
-    Z = jnp.zeros((Lw, Kw, 6), r.dtype)
-    Z = Z.at[obs_lm, obs_kf].add(jnp.einsum("oik,oi->ok", wJ_obs, J_rho))
-    Z = Z.at[obs_lm, anch_kf].add(jnp.einsum("oik,oi->ok", wJ_anch, J_rho))
+    O = r.shape[0]
+    if O * Kw * 12 * 4 <= 256 * 1024 * 1024:
+        # One-hot GEMM accumulation for every Kw-indexed sum. A scatter-add
+        # into the tiny (Kw, Kw, 6, 6) Hessian has O(O) colliding updates
+        # onto <= Kw^2 slots and serializes on TPU (~60 ms for a 25-KF
+        # window); the equivalent (Kw*6, O*2) x (O*2, Kw*6) GEMM runs on
+        # the MXU in <1 ms.
+        ohA = jax.nn.one_hot(obs_kf, Kw, dtype=r.dtype)
+        ohB = jax.nn.one_hot(anch_kf, Kw, dtype=r.dtype)
+        # combined per-(obs, pose) Jacobian: P (O, Kw, 2, 6)
+        P = (ohA[:, :, None, None] * J_obs[:, None]
+             + ohB[:, :, None, None] * J_anch[:, None])
+        Pw = (ohA[:, :, None, None] * wJ_obs[:, None]
+              + ohB[:, :, None, None] * wJ_anch[:, None])
+        Hpp = jnp.einsum("okid,oqie->kqde", Pw, P)
+        bp = -jnp.einsum("okid,oi->kd", Pw, r)
+        Z = jnp.zeros((Lw, Kw, 6), r.dtype).at[obs_lm].add(
+            jnp.einsum("okid,oi->okd", Pw, J_rho))
+    else:
+        # huge-window fallback (offline full BA): scatter accumulation
+        Hpp = jnp.zeros((Kw, Kw, 6, 6), r.dtype)
+        Hpp = Hpp.at[obs_kf, obs_kf].add(
+            jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
+        Hpp = Hpp.at[obs_kf, anch_kf].add(
+            jnp.einsum("oik,oil->okl", wJ_obs, J_anch))
+        Hpp = Hpp.at[anch_kf, obs_kf].add(
+            jnp.einsum("oik,oil->okl", wJ_anch, J_obs))
+        Hpp = Hpp.at[anch_kf, anch_kf].add(
+            jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
+        bp = jnp.zeros((Kw, 6), r.dtype)
+        bp = bp.at[obs_kf].add(-jnp.einsum("oik,oi->ok", wJ_obs, r))
+        bp = bp.at[anch_kf].add(-jnp.einsum("oik,oi->ok", wJ_anch, r))
+        Z = jnp.zeros((Lw, Kw, 6), r.dtype)
+        Z = Z.at[obs_lm, obs_kf].add(
+            jnp.einsum("oik,oi->ok", wJ_obs, J_rho))
+        Z = Z.at[obs_lm, anch_kf].add(
+            jnp.einsum("oik,oi->ok", wJ_anch, J_rho))
 
     # LM damping
     eyeK = jnp.eye(6, dtype=r.dtype)
@@ -280,9 +301,12 @@ def ba_solve_invdepth(
                           _huber_weight(chi2, robust_th), 1.0)
         w = w_valid * w_rob * depth_ok
 
-        cost0 = _total_cost_inv(T_cw, rho, anchor_c, lm_ray, obs_kf_c,
-                                obs_lm_c, obs_px, obs_cam, w_valid, params,
-                                robust_th)
+        # cost0 from the same residual pass (no extra sweep)
+        rho_l = jnp.where(chi2 <= robust_th, chi2,
+                          2.0 * jnp.sqrt(robust_th * jnp.maximum(chi2, 0.0))
+                          - robust_th)
+        rho_l = jnp.where(robust_th > 0, rho_l, chi2)
+        cost0 = jnp.sum(rho_l * w_valid * depth_ok)
         T_new, rho_new = _solve_iteration_inv(
             T_cw, rho, lam, anchor_c, lm_ray, obs_kf_c, obs_lm_c, obs_px,
             obs_cam, w, free, params)

@@ -44,3 +44,23 @@ def test_mode_validation():
     cfg = SlamConfig(mono=True, stereo=True)
     with pytest.raises(ValueError):
         cfg.validate()
+
+
+def test_all_reference_parameter_files_load():
+    """Every reference parameter file (3 profiles x 4 datasets, mono+stereo)
+    must load and yield buildable cameras — the TPU build consumes the
+    reference's YAMLs unchanged (`parameters_files/**`)."""
+    import glob
+
+    from ov2slam_tpu.core.camera import build_camera
+
+    files = sorted(glob.glob(
+        "/root/reference/parameters_files/**/*.yaml", recursive=True))
+    assert len(files) >= 20
+    for f in files:
+        cfg = load_config(f)
+        cam_l = build_camera(cfg.cam_left, other=cfg.cam_left)
+        assert cam_l.width > 0 and cam_l.height > 0
+        if cfg.stereo:
+            cam_r = build_camera(cfg.cam_right, other=cfg.cam_left)
+            assert cam_r.width == cfg.cam_right.width
