@@ -116,3 +116,17 @@ class Profiler:
                         min_ms=v.vmin, max_ms=v.vmax)
                 for k, v in self._scopes.items()
             }
+
+    @staticmethod
+    @contextmanager
+    def device_trace(log_dir: str):
+        """Capture a jax.profiler device trace (XLA timeline, HLO-level
+        op timings) for everything executed inside the context — the
+        hardware-level complement to the wall-clock scopes above (the
+        reference only had wall clocks, `include/profiler.hpp`). View
+        with TensorBoard or Perfetto (`trace.json.gz` under log_dir)."""
+        jax.profiler.start_trace(log_dir)
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()

@@ -72,6 +72,18 @@ class TrajectoryLogger:
                 M = np.array(lie.pose_to_matrix(fp.T_wc))[:3, :].reshape(-1)
                 f.write(" ".join(f"{v:.9e}" for v in M) + "\n")
 
+    def write_tartanair(self, path: str):
+        """TartanAir format: `tx ty tz qx qy qz qw` per line, no
+        timestamps (`logger.hpp:162-186` writeTrajectoryTartanAir)."""
+        with open(path, "w") as f:
+            for fp in self.frames:
+                q = fp.T_wc[0:4]  # wxyz
+                t = fp.T_wc[4:7]
+                f.write(
+                    f"{t[0]:.9f} {t[1]:.9f} {t[2]:.9f} "
+                    f"{q[1]:.9f} {q[2]:.9f} {q[3]:.9f} {q[0]:.9f}\n"
+                )
+
     def replay_with_keyframes(
         self, kf_poses: Dict[int, np.ndarray]
     ) -> List[FramePose]:

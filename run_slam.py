@@ -19,6 +19,9 @@ import sys
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--euroc", help="EuRoC ASL sequence root")
+    ap.add_argument("--kitti", help="KITTI odometry root")
+    ap.add_argument("--kitti-seq", default="00", help="KITTI sequence id")
+    ap.add_argument("--tartanair", help="TartanAir trajectory root")
     ap.add_argument("--config", help="parameter YAML (reference format)")
     ap.add_argument("--synthetic", choices=["arc", "forward", "loop"],
                     help="generate a synthetic sequence instead")
@@ -27,6 +30,8 @@ def main():
     ap.add_argument("--mono", action="store_true")
     ap.add_argument("--out", default=".")
     ap.add_argument("--timings", action="store_true")
+    ap.add_argument("--trace", metavar="DIR",
+                    help="capture a jax.profiler device trace into DIR")
     args = ap.parse_args()
 
     try:  # persistent compile cache (remote-TPU compiles are expensive)
@@ -55,24 +60,38 @@ def main():
         cfg = seq.make_config()
         frames = seq
         gt = seq.gt_poses
-    elif args.euroc:
-        from ov2slam_tpu.io.euroc import EurocDataset
-
+    elif args.euroc or args.kitti or args.tartanair:
         cfg = (load_config(args.config) if args.config else SlamConfig())
         if args.mono:
             cfg.mono, cfg.stereo = True, False
-        ds = EurocDataset(args.euroc, stereo=cfg.stereo)
+        if args.euroc:
+            from ov2slam_tpu.io.euroc import EurocDataset
+
+            ds = EurocDataset(args.euroc, stereo=cfg.stereo)
+        elif args.kitti:
+            from ov2slam_tpu.io.kitti import KittiDataset
+
+            ds = KittiDataset(args.kitti, args.kitti_seq,
+                              stereo=cfg.stereo)
+        else:
+            from ov2slam_tpu.io.tartanair import TartanAirDataset
+
+            ds = TartanAirDataset(args.tartanair, stereo=cfg.stereo)
         frames = iter(ds)
         gt_data = ds.ground_truth()
         gt = gt_data[1] if gt_data else None
     else:
-        ap.error("need --euroc or --synthetic")
+        ap.error("need --euroc, --kitti, --tartanair or --synthetic")
 
     if args.profile:
         apply_profile(cfg, args.profile)
     cfg.validate()
 
-    res = run_sequence(cfg, frames, gt_poses=gt, out_dir=args.out)
+    if args.trace:
+        with Profiler.device_trace(args.trace):
+            res = run_sequence(cfg, frames, gt_poses=gt, out_dir=args.out)
+    else:
+        res = run_sequence(cfg, frames, gt_poses=gt, out_dir=args.out)
     report = dict(
         frames=res.n_frames, processed=res.n_processed,
         dropped=res.n_dropped, keyframes=res.n_keyframes,

@@ -65,3 +65,68 @@ def test_runner_realtime_drops_frames():
     res = run_sequence(cfg, seq)
     assert res.n_dropped > 0
     assert res.n_processed + res.n_dropped == 12
+
+
+# ------------------------------------------------------------- datasets #
+
+def _write_png(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr.astype("uint8")).save(path)
+
+
+def test_kitti_reader(tmp_path, rng):
+    import os
+
+    seq = tmp_path / "sequences" / "07"
+    (seq / "image_0").mkdir(parents=True)
+    (seq / "image_1").mkdir()
+    (tmp_path / "poses").mkdir()
+    n = 4
+    for i in range(n):
+        img = rng.uniform(0, 255, (48, 64))
+        _write_png(seq / "image_0" / f"{i:06d}.png", img)
+        _write_png(seq / "image_1" / f"{i:06d}.png", img)
+    (seq / "times.txt").write_text("".join(f"{0.1*i:.6f}\n" for i in range(n)))
+    # gt: identity-ish 3x4 rows
+    rows = []
+    for i in range(n):
+        M = np.hstack([np.eye(3), [[0.5 * i], [0.0], [0.0]]])
+        rows.append(" ".join(f"{v:.6e}" for v in M.reshape(-1)))
+    (tmp_path / "poses" / "07.txt").write_text("\n".join(rows) + "\n")
+
+    from ov2slam_tpu.io.kitti import KittiDataset
+
+    ds = KittiDataset(str(tmp_path), "07")
+    assert len(ds) == n and ds.stereo
+    frames = list(ds)
+    assert frames[0][0].shape == (48, 64)
+    assert frames[1][1] is not None
+    assert abs(frames[2][2] - 0.2) < 1e-9
+    times, poses = ds.ground_truth()
+    assert poses.shape == (n, 7)
+    np.testing.assert_allclose(poses[2, 4], 1.0, atol=1e-6)
+    np.testing.assert_allclose(poses[0, 0], 1.0, atol=1e-6)  # identity quat
+
+
+def test_tartanair_reader(tmp_path, rng):
+    (tmp_path / "image_left").mkdir()
+    (tmp_path / "image_right").mkdir()
+    n = 3
+    for i in range(n):
+        img = rng.uniform(0, 255, (32, 40))
+        _write_png(tmp_path / "image_left" / f"{i:06d}_left.png", img)
+        _write_png(tmp_path / "image_right" / f"{i:06d}_right.png", img)
+    rows = [f"{0.1*i:.6f} 0.0 0.0 0.0 0.0 0.0 1.0" for i in range(n)]
+    (tmp_path / "pose_left.txt").write_text("\n".join(rows) + "\n")
+
+    from ov2slam_tpu.io.tartanair import TartanAirDataset
+
+    ds = TartanAirDataset(str(tmp_path))
+    assert len(ds) == n and ds.stereo
+    frames = list(ds)
+    assert frames[0][1] is not None
+    times, poses = ds.ground_truth()
+    assert poses.shape == (n, 7)
+    np.testing.assert_allclose(poses[:, 0], 1.0)          # qw
+    np.testing.assert_allclose(poses[1, 4], 0.1, atol=1e-6)

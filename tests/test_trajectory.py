@@ -82,3 +82,20 @@ def test_rpe_identity():
     poses = circle_traj(30)
     t_err, r_err = rpe(poses, poses)
     assert t_err < 1e-12 and r_err < 1e-12
+
+
+def test_tartanair_writer(tmp_path):
+    from ov2slam_tpu.utils.trajectory import TrajectoryLogger
+    from ov2slam_tpu.utils import lie_np
+
+    tl = TrajectoryLogger()
+    for i in range(3):
+        T = lie_np.pose_identity()
+        T[4] = 0.5 * i
+        tl.add_pose(0.1 * i, T, False, -1, None)
+    p = tmp_path / "traj_tartanair.txt"
+    tl.write_tartanair(str(p))
+    rows = np.loadtxt(str(p)).reshape(-1, 7)
+    assert rows.shape == (3, 7)
+    np.testing.assert_allclose(rows[2, 0], 1.0)   # tx
+    np.testing.assert_allclose(rows[:, 6], 1.0)   # qw last (xyzw order)
