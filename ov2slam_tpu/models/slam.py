@@ -15,6 +15,7 @@ LC threads, `ov2slam_node.cpp:198-208`) is provided by
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import jax
@@ -340,24 +341,52 @@ class SlamManager:
         """Final products (`writeResults`, `ov2slam.cpp:576-623`)."""
         import os
 
-        if self.cfg.do_full_ba and self.map.n_keyframes >= 3:
-            # optional final global BA (`ov2slam.cpp:600-615` runFullBA)
-            from ..solvers.ba_variants import full_ba
-
-            full_ba(self.map, self.estimator.params, self.cfg)
-
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
         self.logger.write_tum(
             os.path.join(out_dir, "ov2slam_kfs_traj.txt"),
             keyframes_only=True)
         self.logger.write_kitti(
             os.path.join(out_dir, "ov2slam_traj_kitti.txt"))
+
+        if self.cfg.do_full_ba and self.map.n_keyframes >= 3:
+            # optional final global BA (`ov2slam.cpp:600-615` runFullBA),
+            # then the post-BA KF trajectory (`ov2slam.cpp:608-614`)
+            from ..solvers.ba_variants import full_ba
+
+            full_ba(self.map, self.estimator.params, self.cfg)
+            kf_times = {fp.kf_id: fp.time for fp in self.logger.frames
+                        if fp.is_keyframe}
+            tl = TrajectoryLogger()
+            for k in np.nonzero(self.map.kf_valid)[0]:
+                if int(k) in kf_times:
+                    tl.add_pose(kf_times[int(k)],
+                                self.map.kf_poses[k].astype(np.float64),
+                                True, int(k))
+            tl.write_tum(os.path.join(out_dir,
+                                      "ov2slam_fullba_kfs_traj.txt"))
+
         # LC-corrected full trajectory from optimized KF poses
+        # (`writeFullTrajectoryLC`, `ov2slam.cpp:626-703`)
         kf_poses = {int(k): self.map.kf_poses[k].astype(np.float64)
                     for k in np.nonzero(self.map.kf_valid)[0]}
         frames = self.logger.replay_with_keyframes(kf_poses)
         TrajectoryLogger.write_frames_tum(
             frames, os.path.join(out_dir, "ov2slam_full_traj_wlc.txt"))
+        # full pose graph over all frames, KFs fixed
+        # (`Optimizer::fullPoseGraph`, `optimizer.cpp:2783-2865`)
+        if len(frames) >= 3:
+            from ..solvers.posegraph import full_pose_graph
+
+            opt = full_pose_graph(
+                np.stack([fp.T_wc for fp in frames]),
+                np.stack([fp.T_wc for fp in self.logger.frames]),
+                np.array([fp.is_keyframe for fp in frames]))
+            opt_frames = [
+                dataclasses.replace(fp, T_wc=opt[i])
+                for i, fp in enumerate(frames)]
+            TrajectoryLogger.write_frames_tum(
+                opt_frames,
+                os.path.join(out_dir, "ov2slam_full_traj_wlc_opt.txt"))
 
     def estimated_trajectory(self):
         """(times (F,), poses (F, 7)) of all processed frames."""

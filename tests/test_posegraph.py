@@ -92,3 +92,66 @@ def test_posegraph_padding_safe(rng):
                             jnp.asarray(ei_p), jnp.asarray(ej_p),
                             jnp.asarray(eT_p), jnp.asarray(ew_p), iters=3)
     np.testing.assert_allclose(np.array(a), np.array(b), atol=1e-5)
+
+
+def test_full_pose_graph_distributes_correction(rng):
+    """fullPoseGraph equivalent (`optimizer.cpp:2783-2865`): KF poses are
+    corrected to ground truth; interior frames should be pulled smoothly
+    toward GT — strictly better than rigidly attaching each frame to its
+    keyframe."""
+    from ov2slam_tpu.solvers.posegraph import full_pose_graph
+
+    gt = make_loop_trajectory(41).astype(np.float64)
+    F = len(gt)
+    # odometry with bias -> drifted trajectory
+    drift = np.concatenate([lie_np.so3_exp([0.0, 0.003, 0.0]),
+                            [0.003, 0.0, 0.001]])
+    est = [gt[0]]
+    for i in range(1, F):
+        rel = lie_np.pose_compose(lie_np.pose_relative(gt[i - 1], gt[i]),
+                                  drift)
+        est.append(lie_np.pose_compose(est[-1], rel))
+    est = np.stack(est)
+
+    is_kf = np.zeros(F, bool)
+    is_kf[::8] = True
+    # init = rigid replay: each frame attached to the previous KF's
+    # corrected (GT) pose by its estimated relative motion
+    init = est.copy()
+    last_kf = 0
+    for i in range(F):
+        if is_kf[i]:
+            init[i] = gt[i]
+            last_kf = i
+        else:
+            rel = lie_np.pose_relative(est[last_kf], est[i])
+            init[i] = lie_np.pose_compose(gt[last_kf], rel)
+
+    opt = full_pose_graph(init, est, is_kf, iters=15)
+
+    # KFs untouched
+    assert np.allclose(opt[is_kf], gt[is_kf], atol=1e-9)
+    err_init = np.linalg.norm(init[~is_kf, 4:7] - gt[~is_kf, 4:7], axis=1)
+    err_opt = np.linalg.norm(opt[~is_kf, 4:7] - gt[~is_kf, 4:7], axis=1)
+    assert err_opt.mean() < 0.7 * err_init.mean(), (
+        err_init.mean(), err_opt.mean())
+    # quaternions stay normalized
+    assert np.allclose(np.linalg.norm(opt[:, :4], axis=1), 1.0, atol=1e-6)
+
+
+def test_full_pose_graph_edge_cases():
+    from ov2slam_tpu.solvers.posegraph import full_pose_graph
+
+    gt = make_loop_trajectory(6).astype(np.float64)
+    # no keyframes -> unchanged
+    out = full_pose_graph(gt, gt, np.zeros(6, bool))
+    assert np.allclose(out, gt)
+    # all keyframes -> unchanged
+    out = full_pose_graph(gt, gt, np.ones(6, bool))
+    assert np.allclose(out, gt)
+    # single KF in the middle: leading/trailing segments anchored one-side
+    is_kf = np.zeros(6, bool)
+    is_kf[3] = True
+    out = full_pose_graph(gt, gt, is_kf, iters=3)
+    # consistent measurements + consistent init => stays at init
+    assert np.abs(out[:, 4:7] - gt[:, 4:7]).max() < 1e-3

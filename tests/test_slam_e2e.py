@@ -85,7 +85,8 @@ def test_stereo_trajectory_outputs(tmp_path):
     slam, poses = run_slam(seq)
     slam.write_results(str(tmp_path))
     for name in ["ov2slam_traj.txt", "ov2slam_kfs_traj.txt",
-                 "ov2slam_traj_kitti.txt", "ov2slam_full_traj_wlc.txt"]:
+                 "ov2slam_traj_kitti.txt", "ov2slam_full_traj_wlc.txt",
+                 "ov2slam_full_traj_wlc_opt.txt"]:
         assert (tmp_path / name).exists(), name
     from ov2slam_tpu.utils.trajectory import load_tum
     times, loaded = load_tum(str(tmp_path / "ov2slam_traj.txt"))
