@@ -104,10 +104,34 @@ class EurocDataset:
         return np.asarray(times), np.asarray(poses)
 
 
-def write_asl_sequence(seq, root: str):
+def write_asl_sequence(seq, root: str, gt_rate_hz: Optional[float] = None,
+                       T_body_cam: Optional[np.ndarray] = None):
     """Export a SyntheticSequence as an ASL-format directory (for reader
-    tests and for running the full EuRoC harness without the dataset)."""
+    tests and for running the full EuRoC harness without the dataset).
+
+    ``gt_rate_hz``: when set, the ground-truth csv is written at this rate
+    (SE3-interpolated) instead of the camera rate — mirroring real EuRoC,
+    whose `state_groundtruth_estimate0` runs at ~200 Hz.
+    ``T_body_cam``: when set (pose-7 or 4x4), GT poses are stored in the
+    *body* frame T_w_body = T_w_cam · T_body_cam⁻¹, again like real EuRoC.
+    """
     from PIL import Image
+
+    from ..utils import lie_np
+    from ..utils.evaluation import interpolate_poses
+
+    gt_times = np.asarray(seq.times, np.float64)
+    gt_poses = np.asarray(seq.gt_poses, np.float64)
+    if gt_rate_hz is not None:
+        dense = np.arange(gt_times[0], gt_times[-1], 1.0 / gt_rate_hz)
+        gt_poses = interpolate_poses(gt_times, gt_poses, dense)
+        gt_times = dense
+    if T_body_cam is not None:
+        T_bc = np.asarray(T_body_cam, np.float64)
+        if T_bc.shape == (4, 4):
+            T_bc = lie_np.pose_from_matrix(T_bc)
+        gt_poses = lie_np.pose_compose(
+            gt_poses, lie_np.pose_inverse(T_bc)[None, :])
 
     for cam, images in (("cam0", seq.images_left),
                         ("cam1", seq.images_right or [])):
@@ -129,7 +153,7 @@ def write_asl_sequence(seq, root: str):
     with open(os.path.join(gtd, "data.csv"), "w") as f:
         f.write("#timestamp, p_RS_R_x [m], p_RS_R_y [m], p_RS_R_z [m], "
                 "q_RS_w [], q_RS_x [], q_RS_y [], q_RS_z []\n")
-        for t, T in zip(seq.times, seq.gt_poses):
+        for t, T in zip(gt_times, gt_poses):
             stamp = str(int(round(t * 1e9)))
             f.write(f"{stamp},{T[4]},{T[5]},{T[6]},"
                     f"{T[0]},{T[1]},{T[2]},{T[3]}\n")

@@ -18,7 +18,7 @@ import numpy as np
 
 from ..models.slam import SlamManager
 from ..utils.config import SlamConfig
-from ..utils.evaluation import ate_rmse
+from ..utils.evaluation import ate_rmse, transform_body_to_cam
 from ..utils.profiler import Profiler
 
 
@@ -37,6 +37,8 @@ class RunResult:
 
 def run_sequence(cfg: SlamConfig, frames, times=None,
                  gt_poses: Optional[np.ndarray] = None,
+                 gt_times: Optional[np.ndarray] = None,
+                 T_body_cam: Optional[np.ndarray] = None,
                  out_dir: Optional[str] = None,
                  slam: Optional[SlamManager] = None) -> RunResult:
     """Replay ``frames`` (iterable of (left, right, t) or a
@@ -45,6 +47,13 @@ def run_sequence(cfg: SlamConfig, frames, times=None,
     force_realtime: frames that arrive while processing lags are dropped,
     keeping only the newest (reference frame-dropping semantics) — here
     simulated against the dataset clock.
+
+    ATE association: when ``gt_times`` is given, estimate↔GT pairing is by
+    nearest timestamp (EuRoC GT is ~200 Hz vs 20 Hz camera — index pairing
+    would compress time 10×); ``T_body_cam`` (4x4 or pose-7) additionally
+    transforms body-frame GT into the camera frame before alignment.
+    Without ``gt_times`` the 1:1 index pairing of synthetic sequences is
+    used.
     """
     slam = slam or SlamManager(cfg)
     prof = Profiler.instance()
@@ -83,6 +92,9 @@ def run_sequence(cfg: SlamConfig, frames, times=None,
     wall = _time.perf_counter() - t_start
 
     if out_dir is not None:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
         slam.write_results(out_dir)
 
     est_times, est_poses = slam.estimated_trajectory()
@@ -93,10 +105,22 @@ def run_sequence(cfg: SlamConfig, frames, times=None,
                     if slam.loop_closer else 0),
         wall_s=wall, fps=n_proc / max(wall, 1e-9))
     if gt_poses is not None and len(est_poses) and len(gt_poses):
-        n = min(len(est_poses), len(gt_poses))
-        result.ate = ate_rmse(est_poses[:n], np.asarray(gt_poses)[:n],
-                              align_scale=False)
-        result.ate_scaled = ate_rmse(est_poses[:n],
-                                     np.asarray(gt_poses)[:n],
-                                     align_scale=True)
+        gt_poses = np.asarray(gt_poses, np.float64)
+        if T_body_cam is not None:
+            gt_poses = transform_body_to_cam(gt_poses, T_body_cam)
+        if gt_times is not None:
+            result.ate = ate_rmse(est_poses, gt_poses,
+                                  est_times=np.asarray(est_times),
+                                  gt_times=np.asarray(gt_times),
+                                  align_scale=False)
+            result.ate_scaled = ate_rmse(est_poses, gt_poses,
+                                         est_times=np.asarray(est_times),
+                                         gt_times=np.asarray(gt_times),
+                                         align_scale=True)
+        else:
+            n = min(len(est_poses), len(gt_poses))
+            result.ate = ate_rmse(est_poses[:n], gt_poses[:n],
+                                  align_scale=False)
+            result.ate_scaled = ate_rmse(est_poses[:n], gt_poses[:n],
+                                         align_scale=True)
     return result

@@ -60,6 +60,43 @@ def associate(
     return np.array(ia, int), np.array(ib, int)
 
 
+def interpolate_poses(times: np.ndarray, poses: np.ndarray,
+                      query_times: np.ndarray) -> np.ndarray:
+    """SE3-interpolate a pose track (N, 7) at ``query_times`` (clamped to
+    the track's span): slerp on rotation via the relative log, lerp on
+    translation along the relative transform."""
+    times = np.asarray(times, np.float64)
+    poses = np.asarray(poses, np.float64)
+    q = np.clip(np.asarray(query_times, np.float64),
+                times[0], times[-1])
+    hi = np.clip(np.searchsorted(times, q, side="right"), 1, len(times) - 1)
+    lo = hi - 1
+    denom = np.maximum(times[hi] - times[lo], 1e-12)
+    a = ((q - times[lo]) / denom)[:, None]
+    rel = lie.pose_relative(poses[lo], poses[hi])
+    step = np.concatenate(
+        [lie.so3_exp(lie.so3_log(rel[:, :4]) * a), rel[:, 4:] * a], axis=-1)
+    return lie.pose_compose(poses[lo], step)
+
+
+def transform_body_to_cam(gt_poses: np.ndarray,
+                          T_body_cam: np.ndarray) -> np.ndarray:
+    """Convert body-frame ground-truth poses T_w_body (N, 7) into camera
+    poses T_w_cam = T_w_body · T_body_cam.
+
+    EuRoC's `state_groundtruth_estimate0` records the *body* (IMU) frame;
+    the estimate is the cam0 frame, so GT must be pushed through the
+    `body_T_cam0` extrinsic from the parameter YAML before comparing
+    (the reference leaves this to external evo tooling; we do it in-
+    framework).
+    """
+    T_bc = np.asarray(T_body_cam, np.float64)
+    if T_bc.shape == (4, 4):
+        T_bc = lie.pose_from_matrix(T_bc)
+    return lie.pose_compose(np.asarray(gt_poses, np.float64),
+                            T_bc[None, :])
+
+
 def ate_rmse(
     est_poses: np.ndarray,
     gt_poses: np.ndarray,

@@ -59,7 +59,7 @@ def main():
             speed=0.05)
         cfg = seq.make_config()
         frames = seq
-        gt = seq.gt_poses
+        gt, gt_times, T_body_cam = seq.gt_poses, None, None
     elif args.euroc or args.kitti or args.tartanair:
         cfg = (load_config(args.config) if args.config else SlamConfig())
         if args.mono:
@@ -80,6 +80,9 @@ def main():
         frames = iter(ds)
         gt_data = ds.ground_truth()
         gt = gt_data[1] if gt_data else None
+        gt_times = gt_data[0] if gt_data else None
+        # EuRoC GT is the body (IMU) frame: push through body_T_cam0
+        T_body_cam = cfg.cam_left.T_body_cam if args.euroc else None
     else:
         ap.error("need --euroc, --kitti, --tartanair or --synthetic")
 
@@ -89,9 +92,11 @@ def main():
 
     if args.trace:
         with Profiler.device_trace(args.trace):
-            res = run_sequence(cfg, frames, gt_poses=gt, out_dir=args.out)
+            res = run_sequence(cfg, frames, gt_poses=gt, gt_times=gt_times,
+                               T_body_cam=T_body_cam, out_dir=args.out)
     else:
-        res = run_sequence(cfg, frames, gt_poses=gt, out_dir=args.out)
+        res = run_sequence(cfg, frames, gt_poses=gt, gt_times=gt_times,
+                           T_body_cam=T_body_cam, out_dir=args.out)
     report = dict(
         frames=res.n_frames, processed=res.n_processed,
         dropped=res.n_dropped, keyframes=res.n_keyframes,

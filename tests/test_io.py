@@ -55,6 +55,32 @@ def test_runner_on_synthetic():
     assert res.ate is not None and res.ate < 0.1
 
 
+def test_euroc_e2e_dense_body_frame_gt(tmp_path):
+    """Full --euroc semantics against a realistic GT fixture: 200 Hz GT in
+    the *body* frame. The runner must associate by timestamp and apply
+    body_T_cam0 — index pairing would compress time 10x (round-1 bug)."""
+    from ov2slam_tpu.utils import lie_np
+
+    seq = generate_sequence(n_frames=14, stereo=True, width=376, height=240,
+                            n_points=2500, seed=13, speed=0.05)
+    T_bc = lie_np.make_pose(lie_np.so3_exp([0.1, -0.2, 0.3]),
+                            np.array([0.05, -0.02, 0.1]))
+    root = tmp_path / "mh"
+    write_asl_sequence(seq, str(root), gt_rate_hz=200.0, T_body_cam=T_bc)
+
+    ds = EurocDataset(str(root))
+    gt_times, gt_body = ds.ground_truth()
+    assert len(gt_times) > 5 * len(ds)      # genuinely dense GT
+
+    cfg = seq.make_config(max_keyframes=32, max_landmarks=4096,
+                          use_fast=False, use_singlescale_detector=True,
+                          max_dist=30)
+    res = run_sequence(cfg, iter(ds), gt_poses=gt_body, gt_times=gt_times,
+                       T_body_cam=T_bc)
+    assert res.n_processed == 14
+    assert res.ate is not None and res.ate < 0.1
+
+
 def test_runner_realtime_drops_frames():
     seq = generate_sequence(n_frames=12, stereo=True, width=376, height=240,
                             n_points=2500, seed=12, speed=0.05,
