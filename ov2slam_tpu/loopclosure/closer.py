@@ -62,8 +62,10 @@ class LoopCloser:
         self.prof.start("4.LC_QueryIndex")
         # exclude covisible KFs (`loop_closer.cpp:201-209`)
         cov = set(int(k) for k in m.covisible_kfs(kfid, min_score=1))
-        cand, score = self.index.query(desc, valid, exclude=cov)
-        self.index.add(kfid, desc, valid)
+        cand, score = self.index.query(
+            desc, valid, exclude=cov,
+            seq_lookup=lambda ids: m.kf_seq[ids])
+        self.index.add(kfid, desc, valid, seq=int(m.kf_seq[kfid]))
         self.prof.stop("4.LC_QueryIndex")
         if cand < 0 or not m.kf_valid[cand]:
             return False
@@ -234,8 +236,11 @@ class LoopCloser:
         propagation + landmark merges (`processLoopCandidate` acceptance
         branch, `loop_closer.cpp:300-376`)."""
         m = self.map
-        window = [int(k) for k in np.nonzero(m.kf_valid)[0]
-                  if cand <= k <= kfid]
+        # KFs created between the loop KF and the new KF, oldest first
+        # (by insertion seq — slot ids are recycled)
+        s_lo, s_hi = int(m.kf_seq[cand]), int(m.kf_seq[kfid])
+        window = [int(k) for k in m.kfs_by_seq()
+                  if s_lo <= m.kf_seq[k] <= s_hi]
         if len(window) < 2:
             return
         old_poses = m.kf_poses[window].astype(np.float64)

@@ -73,9 +73,13 @@ class PlaceIndex:
         self._desc: Optional[np.ndarray] = None   # (cap, N, 8)
         self._valid: Optional[np.ndarray] = None  # (cap, N)
         self.kf_ids: List[int] = []
+        # insertion seq of each entry's KF: map slot ids are recycled, so
+        # an entry is stale when the slot's current seq no longer matches
+        self.kf_seqs: List[int] = []
         self._last_candidate: Optional[int] = None
 
-    def add(self, kfid: int, desc: np.ndarray, valid: np.ndarray):
+    def add(self, kfid: int, desc: np.ndarray, valid: np.ndarray,
+            seq: Optional[int] = None):
         if self._desc is None:
             N = desc.shape[0]
             self._desc = np.zeros((self.capacity, N, 8), np.uint32)
@@ -84,6 +88,18 @@ class PlaceIndex:
         self._desc[i] = desc
         self._valid[i] = valid
         self.kf_ids.append(kfid)
+        self.kf_seqs.append(-1 if seq is None else int(seq))
+
+    def _mask_stale(self, scores: np.ndarray, seq_lookup) -> np.ndarray:
+        """Score stale entries (culled or recycled KF slots) to -1."""
+        if seq_lookup is None:
+            return scores
+        n = len(scores)
+        ids = np.asarray(self.kf_ids[:n], np.int64)
+        seqs = np.asarray(self.kf_seqs[:n], np.int64)
+        cur = np.asarray(seq_lookup(ids), np.int64)
+        scores[(seqs >= 0) & (cur != seqs)] = -1.0
+        return scores
 
     def _raw_scores(self, desc: np.ndarray, valid: np.ndarray,
                     usable: int) -> np.ndarray:
@@ -101,7 +117,7 @@ class PlaceIndex:
             jnp.int32(self.match_bits)))[:usable]
 
     def query_best(self, desc: np.ndarray, valid: np.ndarray,
-                   top_k: int = 3) -> List[Tuple[int, float]]:
+                   top_k: int = 3, seq_lookup=None) -> List[Tuple[int, float]]:
         """Top-k scoring keyframes with NO recency mask and NO island
         temporal-consistency gate — used for relocalization after tracking
         loss, where a single lost frame must match immediately and recent
@@ -109,13 +125,15 @@ class PlaceIndex:
         n = len(self.kf_ids)
         if n == 0 or self._desc is None:
             return []
-        scores = self._raw_scores(desc, valid, n)
+        scores = self._mask_stale(self._raw_scores(desc, valid, n),
+                                  seq_lookup)
         order = np.argsort(-scores)[:top_k]
         return [(self.kf_ids[int(i)], float(scores[int(i)]))
-                for i in order]
+                for i in order if scores[int(i)] >= 0]
 
     def query(self, desc: np.ndarray, valid: np.ndarray,
-              exclude: Optional[set] = None) -> Tuple[int, float]:
+              exclude: Optional[set] = None,
+              seq_lookup=None) -> Tuple[int, float]:
         """Best loop candidate for a query descriptor set.
 
         Returns (kf_id, score) or (-1, 0.0). Requires temporal consistency:
@@ -126,7 +144,8 @@ class PlaceIndex:
         usable = n - self.recent_mask
         if usable < 1:
             return -1, 0.0
-        scores = self._raw_scores(desc, valid, usable)
+        scores = self._mask_stale(self._raw_scores(desc, valid, usable),
+                                  seq_lookup)
         if exclude:
             for i, k in enumerate(self.kf_ids[:usable]):
                 if k in exclude:

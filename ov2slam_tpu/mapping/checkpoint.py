@@ -14,12 +14,13 @@ import numpy as np
 from .store import MapStore
 
 _ARRAYS = [
-    "kf_valid", "kf_times", "kf_poses",
+    "kf_valid", "kf_times", "kf_poses", "kf_seq",
     "obs_lmid", "obs_px", "obs_rpx", "obs_is_stereo", "obs_desc",
     "lm_valid", "lm_is3d", "lm_pos", "lm_desc", "lm_anchor_kf",
     "lm_obs_kf", "lm_obs_slot",
 ]
-_SCALARS = ["_next_kf", "_next_lm"]
+_SCALARS = ["_next_kf", "_next_lm", "_kf_seq_counter"]
+_FREELISTS = ["_free_kf", "_free_lm"]
 
 
 def save_map(store: MapStore, path: str):
@@ -27,6 +28,8 @@ def save_map(store: MapStore, path: str):
     data = {name: getattr(store, name) for name in _ARRAYS}
     for name in _SCALARS:
         data[name] = np.asarray(getattr(store, name))
+    for name in _FREELISTS:
+        data[name] = np.asarray(getattr(store, name), np.int64)
     data["capacities"] = np.asarray([store.K, store.L, store.N])
     np.savez_compressed(path, **data)
 
@@ -40,7 +43,12 @@ def load_map(store: MapStore, path: str) -> MapStore:
                 f"checkpoint capacities {(K, L, N)} != config "
                 f"{(store.K, store.L, store.N)}")
         for name in _ARRAYS:
-            getattr(store, name)[...] = data[name]
+            if name in data:
+                getattr(store, name)[...] = data[name]
         for name in _SCALARS:
-            setattr(store, name, int(data[name]))
+            if name in data:
+                setattr(store, name, int(data[name]))
+        for name in _FREELISTS:
+            if name in data:
+                setattr(store, name, [int(v) for v in data[name]])
     return store

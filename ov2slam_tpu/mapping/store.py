@@ -12,7 +12,15 @@ arrays built here. This split replaces the reference's five map mutexes
 the front-end never blocks on BA.
 
 Capacities are static (from `SlamConfig`), so every downstream jit sees
-stable shapes: no recompilation as the map grows.
+stable shapes: no recompilation as the map grows. Removed keyframe and
+landmark slots are recycled through free-lists (the reference's removals
+are first-class, `map_manager.cpp:885-1095`; here allocation pops freed
+slots before advancing the fresh cursor), so long sequences with culling
+enabled run indefinitely inside fixed capacities. Because slot ids are
+therefore NOT temporally ordered, every keyframe carries a monotone
+``kf_seq`` sequence number — the stable identity used for age ordering
+(gauge fixing, recency windows, loop-closure ranges) and for detecting
+stale references to a recycled slot.
 
 Reference parity notes:
 - observation tables mirror `Frame::mapkps_` (`frame.hpp:202`),
@@ -77,6 +85,9 @@ class MapStore:
         self.kf_times = np.zeros(K, np.float64)
         self.kf_poses = np.zeros((K, 7), np.float32)
         self.kf_poses[:, 0] = 1.0
+        # monotone insertion sequence number (-1 = never used / removed):
+        # the temporal identity of a keyframe, robust to slot recycling
+        self.kf_seq = np.full(K, -1, np.int64)
 
         # per-KF observations
         self.obs_lmid = np.full((K, N), -1, np.int32)
@@ -98,19 +109,47 @@ class MapStore:
 
         self._next_kf = 0
         self._next_lm = 0
+        self._kf_seq_counter = 0
+        # freed slots available for reuse (LIFO)
+        self._free_kf: List[int] = []
+        self._free_lm: List[int] = []
 
     # ----------------------------------------------------------------- #
     # landmarks
     # ----------------------------------------------------------------- #
 
+    @property
+    def free_landmark_capacity(self) -> int:
+        return (self.L - self._next_lm) + len(self._free_lm)
+
+    @property
+    def free_keyframe_capacity(self) -> int:
+        return (self.K - self._next_kf) + len(self._free_kf)
+
     def new_landmarks(self, n: int) -> np.ndarray:
-        """Allocate n fresh (2D, untriangulated) landmark ids."""
-        if self._next_lm + n > self.L:
-            raise RuntimeError("landmark capacity exceeded")
-        ids = np.arange(self._next_lm, self._next_lm + n, dtype=np.int32)
-        self._next_lm += n
+        """Allocate n fresh (2D, untriangulated) landmark ids, reusing
+        freed slots before advancing the fresh cursor. Callers should
+        clamp n to ``free_landmark_capacity`` for graceful degradation."""
+        n_reuse = min(n, len(self._free_lm))
+        n_fresh = n - n_reuse
+        if self._next_lm + n_fresh > self.L:
+            raise RuntimeError(
+                f"landmark capacity exceeded ({n} requested, "
+                f"{self.free_landmark_capacity} free of {self.L})")
+        reused = [self._free_lm.pop() for _ in range(n_reuse)]
+        ids = np.concatenate([
+            np.asarray(reused, np.int32),
+            np.arange(self._next_lm, self._next_lm + n_fresh,
+                      dtype=np.int32)])
+        self._next_lm += n_fresh
         self.lm_valid[ids] = True
         self.lm_is3d[ids] = False
+        # recycled slots must not leak prior state
+        self.lm_pos[ids] = 0.0
+        self.lm_desc[ids] = 0
+        self.lm_anchor_kf[ids] = -1
+        self.lm_obs_kf[ids] = -1
+        self.lm_obs_slot[ids] = -1
         return ids
 
     def set_landmark_positions(self, ids: np.ndarray, pos: np.ndarray):
@@ -131,8 +170,10 @@ class MapStore:
                 self.obs_lmid[k, slot] = -1
         self.lm_valid[lmid] = False
         self.lm_is3d[lmid] = False
+        self.lm_anchor_kf[lmid] = -1
         self.lm_obs_kf[lmid] = -1
         self.lm_obs_slot[lmid] = -1
+        self._free_lm.append(int(lmid))
 
     def _lm_add_observer(self, lmid: int, kfid: int, slot: int) -> bool:
         row = self.lm_obs_kf[lmid]
@@ -173,8 +214,10 @@ class MapStore:
                 self._lm_add_observer(keep, k, slot)
         self.lm_valid[drop] = False
         self.lm_is3d[drop] = False
+        self.lm_anchor_kf[drop] = -1
         self.lm_obs_kf[drop] = -1
         self.lm_obs_slot[drop] = -1
+        self._free_lm.append(int(drop))
 
     # ----------------------------------------------------------------- #
     # keyframes
@@ -191,11 +234,18 @@ class MapStore:
         rpx: Optional[np.ndarray] = None,
     ) -> int:
         """Insert a keyframe with its observation table
-        (`MapManager::addKeyframe`, `map_manager.cpp:621-633`)."""
-        if self._next_kf >= self.K:
-            raise RuntimeError("keyframe capacity exceeded")
-        kfid = self._next_kf
-        self._next_kf += 1
+        (`MapManager::addKeyframe`, `map_manager.cpp:621-633`), reusing a
+        freed slot when available."""
+        if self._free_kf:
+            kfid = self._free_kf.pop()
+        elif self._next_kf < self.K:
+            kfid = self._next_kf
+            self._next_kf += 1
+        else:
+            raise RuntimeError(
+                f"keyframe capacity exceeded (0 free of {self.K})")
+        self.kf_seq[kfid] = self._kf_seq_counter
+        self._kf_seq_counter += 1
 
         lmids = np.asarray(lmids, np.int32)
         self.kf_valid[kfid] = True
@@ -209,6 +259,7 @@ class MapStore:
             self.obs_rpx[kfid] = rpx if rpx is not None else 0.0
         else:
             self.obs_is_stereo[kfid] = False
+            self.obs_rpx[kfid] = 0.0
 
         from .. import native
 
@@ -233,13 +284,35 @@ class MapStore:
 
     def remove_keyframe(self, kfid: int):
         """KF culling (`MapManager::removeKeyframe`,
-        `map_manager.cpp:885-945`)."""
+        `map_manager.cpp:885-945`). The freed slot is recycled; landmarks
+        anchored here are re-anchored to their earliest remaining observer
+        (the reference re-anchors on anchor loss, `map_manager.cpp:898-918`)."""
         if not self.kf_valid[kfid]:
             return
-        for slot in np.nonzero(self.obs_lmid[kfid] >= 0)[0]:
-            self._lm_remove_observer(int(self.obs_lmid[kfid, slot]), kfid)
+        obs_lms = self.obs_lmid[kfid][self.obs_lmid[kfid] >= 0]
+        for lmid in obs_lms:
+            self._lm_remove_observer(int(lmid), kfid)
+        anchored = np.unique(obs_lms[self.lm_anchor_kf[obs_lms] == kfid])
+        for l in anchored:
+            obs = self.lm_obs_kf[l]
+            obs = obs[obs >= 0]
+            self.lm_anchor_kf[l] = (
+                int(obs[np.argmin(self.kf_seq[obs])]) if len(obs) else -1)
+        # landmarks left with zero observers are unreachable — free them
+        # (the reference erases observation-less MapPoints on KF removal)
+        for l in np.unique(obs_lms):
+            if self.lm_valid[l] and (self.lm_obs_kf[l] < 0).all():
+                self.remove_landmark(int(l))
         self.obs_lmid[kfid] = -1
         self.kf_valid[kfid] = False
+        self.kf_seq[kfid] = -1
+        self._free_kf.append(int(kfid))
+
+    def kfs_by_seq(self) -> np.ndarray:
+        """All valid keyframe slot ids, oldest first (by insertion seq)."""
+        ids = np.nonzero(self.kf_valid)[0]
+        return ids[np.argsort(self.kf_seq[ids], kind="stable")].astype(
+            np.int32)
 
     def remove_observation(self, kfid: int, lmid: int):
         """(`MapManager::removeMapPointObs`, `map_manager.cpp:1012-1052`)."""
@@ -403,8 +476,12 @@ class MapStore:
             wi = np.where(okf >= 0, win_index[np.maximum(okf, 0)], -1)
             valid_o = wi >= 0
             is_anch = valid_o & (okf == self.lm_anchor_kf[lm_sel][:, None])
+            # fallback anchor = earliest (min-seq) in-window observer;
+            # column order of lm_obs_kf is not temporal under slot reuse
+            seqs = np.where(valid_o, self.kf_seq[np.maximum(okf, 0)],
+                            np.int64(1) << 62)
             col = np.where(is_anch.any(1), np.argmax(is_anch, 1),
-                           np.argmax(valid_o, 1))
+                           np.argmin(seqs, 1))
             rows = np.arange(Lw)
             a_kf = np.maximum(okf[rows, col], 0)
             a_slot = np.maximum(oslot[rows, col], 0)

@@ -58,12 +58,13 @@ class Estimator:
             window = [kfid] + [int(k) for k in cov]
 
             # gauge: fix the two oldest KFs in the window (mono needs >= 2
-            # for scale; `optimizer.cpp:396-407`), or KF 0 if present
-            by_age = sorted(window)
+            # for scale; `optimizer.cpp:396-407`), or the origin KF if
+            # present (age = insertion seq — slot ids are recycled)
+            by_age = sorted(window, key=lambda k: int(m.kf_seq[k]))
             n_fix = 1 if cfg.stereo else 2
             fixed = by_age[:n_fix]
-            if 0 in window:
-                fixed = list(set(fixed) | {0})
+            origin = [k for k in window if m.kf_seq[k] == 0]
+            fixed = list(set(fixed) | set(origin))
 
             prob = m.build_ba_problem(
                 window, fixed, max_kfs=cfg.local_ba_max_kfs,
@@ -122,11 +123,12 @@ class Estimator:
         m = self.map
         if cfg.kf_filtering_ratio >= 1.0 or m.n_keyframes < 20:
             return
+        seq_cur = int(m.kf_seq[kfid])
         for k in m.covisible_kfs(kfid, min_score=cfg.min_cov_score):
             k = int(k)
-            if k == 0 or k == kfid or k == self.lc_kf_id:
+            if m.kf_seq[k] == 0 or k == kfid or k == self.lc_kf_id:
                 continue
-            if k >= kfid - 3:   # keep the most recent KFs
+            if int(m.kf_seq[k]) >= seq_cur - 3:   # keep the most recent KFs
                 continue
             lmids = m.kf_landmark_ids(k, only_3d=True)
             if len(lmids) == 0:

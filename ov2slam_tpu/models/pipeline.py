@@ -58,9 +58,12 @@ class AsyncSlamManager(SlamManager):
 
         with self.map_lock:
             new_rows, desc = fe.detect_and_describe()
-            if len(new_rows):
-                lmids = self.map.new_landmarks(len(new_rows))
-                f.lmids[new_rows] = lmids
+            # graceful degradation at capacity: drop surplus detections
+            # instead of aborting (their frame slots simply stay 2D-less)
+            n_alloc = min(len(new_rows), self.map.free_landmark_capacity)
+            if n_alloc:
+                lmids = self.map.new_landmarks(n_alloc)
+                f.lmids[new_rows[:n_alloc]] = lmids
             lm_slots = np.where(f.valid, f.lmids, -1).astype(np.int32)
             kfid = self.map.add_keyframe(
                 time, f.T_wc, lm_slots, f.px_und, desc.astype(np.uint32))
@@ -68,8 +71,9 @@ class AsyncSlamManager(SlamManager):
 
         if fe.initialized:
             # hand off to the worker (drop-oldest on overflow = the
-            # reference's real-time load shedding)
-            item = (kfid, fe.cur_pyr, img_right)
+            # reference's real-time load shedding); the seq snapshot
+            # detects the slot being culled+recycled before processing
+            item = (kfid, int(self.map.kf_seq[kfid]), fe.cur_pyr, img_right)
             try:
                 self._kf_queue.put_nowait(item)
             except queue.Full:
@@ -101,9 +105,9 @@ class AsyncSlamManager(SlamManager):
                     backlogged = True
                 except queue.Empty:
                     break
-            kfid, pyr, img_right = item
+            kfid, seq, pyr, img_right = item
             try:
-                self._process_kf(kfid, pyr, img_right,
+                self._process_kf(kfid, seq, pyr, img_right,
                                  under_pressure=backlogged)
             except Exception:  # worker must survive; surface via counter
                 import traceback
@@ -111,9 +115,9 @@ class AsyncSlamManager(SlamManager):
                 traceback.print_exc()
                 self.n_worker_errors = getattr(self, "n_worker_errors", 0) + 1
 
-    def _process_kf(self, kfid, pyr, img_right, under_pressure: bool):
-        if not self.map.kf_valid[kfid]:
-            return
+    def _process_kf(self, kfid, seq, pyr, img_right, under_pressure: bool):
+        if not self.map.kf_valid[kfid] or int(self.map.kf_seq[kfid]) != seq:
+            return   # culled (and possibly recycled) while queued
         with self.map_lock:
             self.mapper.process_keyframe(kfid, self.frontend.frame, pyr,
                                          img_right)

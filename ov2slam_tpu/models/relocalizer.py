@@ -91,8 +91,9 @@ class Relocalizer:
             return False
 
         # 2) place-recognition candidates (best-first)
-        for cand, score in self.index.query_best(desc_np, det_ok_np,
-                                                 top_k=3):
+        for cand, score in self.index.query_best(
+                desc_np, det_ok_np, top_k=3,
+                seq_lookup=lambda ids: m.kf_seq[ids]):
             if not m.kf_valid[cand]:
                 continue
             T = self._verify_candidate(kps_np, desc_np, det_ok_np, cand)

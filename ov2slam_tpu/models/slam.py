@@ -146,7 +146,8 @@ class SlamManager:
             if self.relocalizer.try_relocalize(fe):
                 self._reloc_patience = 0
                 T = fe.frame.T_wc.astype(np.float64)
-                self.logger.add_pose(time, T, False, fe.frame.kf_id, None)
+                self.logger.add_pose(time, T, False,
+                                     self._kf_key(fe.frame.kf_id), None)
                 return fe.frame.T_wc
             if self._reloc_patience > 0:
                 # still lost: hold the last pose, no spurious keyframe
@@ -196,8 +197,16 @@ class SlamManager:
         kf_id = fe.frame.kf_id
         T_kf = (self.map.kf_poses[kf_id].astype(np.float64)
                 if kf_id >= 0 and self.map.kf_valid[kf_id] else None)
-        self.logger.add_pose(time, T, is_kf, kf_id, T_kf)
+        self.logger.add_pose(time, T, is_kf, self._kf_key(kf_id), T_kf)
         return fe.frame.T_wc
+
+    def _kf_key(self, kf_id: int) -> int:
+        """Stable trajectory-log key for a keyframe: its insertion seq.
+        Slot ids are recycled, so logging the slot would alias an old
+        frame's reference KF onto whatever KF later reuses the slot."""
+        if kf_id >= 0 and self.map.kf_valid[kf_id]:
+            return int(self.map.kf_seq[kf_id])
+        return -1
 
     # ------------------------------------------------------------------ #
 
@@ -209,10 +218,12 @@ class SlamManager:
         f = fe.frame
 
         new_rows, desc = fe.detect_and_describe()
-        # new keypoints get fresh 2D landmarks
-        if len(new_rows):
-            lmids = self.map.new_landmarks(len(new_rows))
-            f.lmids[new_rows] = lmids
+        # new keypoints get fresh 2D landmarks; at capacity, drop surplus
+        # detections instead of aborting
+        n_alloc = min(len(new_rows), self.map.free_landmark_capacity)
+        if n_alloc:
+            lmids = self.map.new_landmarks(n_alloc)
+            f.lmids[new_rows[:n_alloc]] = lmids
 
         lm_slots = np.where(f.valid, f.lmids, -1).astype(np.int32)
         kfid = self.map.add_keyframe(
@@ -355,19 +366,21 @@ class SlamManager:
 
             full_ba(self.map, self.estimator.params, self.cfg)
             kf_times = {fp.kf_id: fp.time for fp in self.logger.frames
-                        if fp.is_keyframe}
+                        if fp.is_keyframe}   # keyed by seq (see _kf_key)
             tl = TrajectoryLogger()
             for k in np.nonzero(self.map.kf_valid)[0]:
-                if int(k) in kf_times:
-                    tl.add_pose(kf_times[int(k)],
+                seq = int(self.map.kf_seq[k])
+                if seq in kf_times:
+                    tl.add_pose(kf_times[seq],
                                 self.map.kf_poses[k].astype(np.float64),
-                                True, int(k))
+                                True, seq)
             tl.write_tum(os.path.join(out_dir,
                                       "ov2slam_fullba_kfs_traj.txt"))
 
         # LC-corrected full trajectory from optimized KF poses
-        # (`writeFullTrajectoryLC`, `ov2slam.cpp:626-703`)
-        kf_poses = {int(k): self.map.kf_poses[k].astype(np.float64)
+        # (`writeFullTrajectoryLC`, `ov2slam.cpp:626-703`); keyed by seq
+        kf_poses = {int(self.map.kf_seq[k]):
+                    self.map.kf_poses[k].astype(np.float64)
                     for k in np.nonzero(self.map.kf_valid)[0]}
         frames = self.logger.replay_with_keyframes(kf_poses)
         TrajectoryLogger.write_frames_tum(

@@ -79,13 +79,16 @@ def structure_only_ba(map_store, kf_ids: Sequence[int], params: BAParams,
 
 def loose_ba(map_store, kf_min: int, kf_max: int, params: BAParams,
              cfg) -> int:
-    """BA over the explicit keyframe id range [kf_min, kf_max]; the two
-    oldest in the range are gauge-fixed (post-loop-closure refinement)."""
-    window = [int(k) for k in np.nonzero(map_store.kf_valid)[0]
-              if kf_min <= k <= kf_max]
+    """BA over the keyframes created between ``kf_min`` and ``kf_max``
+    (inclusive, by insertion seq — slot ids are recycled so id ranges are
+    meaningless); the two oldest are gauge-fixed (post-LC refinement)."""
+    m = map_store
+    s_lo, s_hi = int(m.kf_seq[kf_min]), int(m.kf_seq[kf_max])
+    window = [int(k) for k in m.kfs_by_seq()
+              if s_lo <= m.kf_seq[k] <= s_hi]
     if len(window) < 3:
         return 0
-    fixed = sorted(window)[:2]
+    fixed = window[:2]
     cap_kfs = max(cfg.local_ba_max_kfs, len(window))
     return _solve_window(map_store, window, fixed, params, cfg,
                          max_kfs=cap_kfs, max_obs=4 * cfg.local_ba_max_obs)
@@ -96,11 +99,11 @@ def full_ba(map_store, params: BAParams, cfg,
     """Global BA over every valid keyframe; KF 0 (and the next oldest for
     mono gauge) fixed. The reference runs this only at shutdown when
     `do_full_ba` is set (`ov2slam.cpp:600-615`)."""
-    window = [int(k) for k in np.nonzero(map_store.kf_valid)[0]]
+    window = [int(k) for k in map_store.kfs_by_seq()]
     if len(window) < 3:
         return 0
     n_fix = 1 if cfg.stereo else 2
-    fixed = sorted(window)[:n_fix]
+    fixed = window[:n_fix]
     return _solve_window(
         map_store, window, fixed, params, cfg,
         max_kfs=len(window), max_obs=8 * cfg.local_ba_max_obs,

@@ -1,0 +1,133 @@
+"""Slot recycling / compaction in MapStore (round-1 verdict weak #2).
+
+The reference's map removals are first-class (`map_manager.cpp:885-1095`);
+round 1's store only advanced monotone cursors, hard-aborting once
+cumulative allocations crossed capacity. These tests drive
+allocate -> cull -> reallocate through >= 3x nominal capacity, check that
+freed slots are actually reused, that temporal ordering survives reuse
+(via kf_seq), and that an e2e run with tight capacities + culling enabled
+completes.
+"""
+
+import numpy as np
+import pytest
+
+from ov2slam_tpu.mapping.store import MapStore
+from ov2slam_tpu.utils.config import SlamConfig
+
+
+def _cfg(K=8, L=64):
+    # N (per-frame kp capacity) is grid-derived and lane-aligned to 128;
+    # the default is fine — these tests only exercise K/L recycling
+    cfg = SlamConfig()
+    cfg.max_keyframes = K
+    cfg.max_landmarks = L
+    return cfg
+
+
+def _add_kf(store, t, lmids=None):
+    N = store.N
+    slots = np.full(N, -1, np.int32)
+    if lmids is not None:
+        slots[: len(lmids)] = lmids
+    return store.add_keyframe(
+        t, np.array([1, 0, 0, 0, t, 0, 0], np.float32), slots,
+        np.zeros((N, 2), np.float32), np.zeros((N, 8), np.uint32))
+
+
+def test_landmark_slots_recycle_3x_capacity():
+    store = MapStore(_cfg(L=64))
+    total = 0
+    live = []
+    for _ in range(24):                       # 24 * 8 = 192 = 3x capacity
+        ids = store.new_landmarks(8)
+        total += 8
+        live.extend(int(i) for i in ids)
+        # cull the oldest half of live landmarks
+        for l in live[: len(live) // 2]:
+            store.remove_landmark(l)
+        live = live[len(live) // 2:]
+    assert total == 3 * store.L
+    assert store._next_lm <= store.L          # never overflowed the cursor
+
+
+def test_freed_landmark_slots_are_reused_and_clean():
+    store = MapStore(_cfg(L=16))
+    a = store.new_landmarks(16)               # exhaust fresh capacity
+    store.lm_pos[a[3]] = (1, 2, 3)
+    store.lm_is3d[a[3]] = True
+    store.remove_landmark(int(a[3]))
+    b = store.new_landmarks(1)
+    assert int(b[0]) == int(a[3])             # slot reused
+    assert not store.lm_is3d[b[0]]            # and scrubbed
+    assert np.all(store.lm_pos[b[0]] == 0)
+    assert store.lm_anchor_kf[b[0]] == -1
+    with pytest.raises(RuntimeError):
+        store.new_landmarks(1)                # genuinely full now
+
+
+def test_keyframe_slots_recycle_3x_capacity_with_seq_order():
+    store = MapStore(_cfg(K=8))
+    created = 0
+    for t in range(24):                       # 3x capacity
+        kid = _add_kf(store, float(t))
+        created += 1
+        if store.n_keyframes > 4:
+            # cull the oldest live KF (by seq, like map_filtering)
+            oldest = int(store.kfs_by_seq()[0])
+            store.remove_keyframe(oldest)
+    assert created == 3 * store.K
+    order = store.kfs_by_seq()
+    times = store.kf_times[order]
+    assert np.all(np.diff(times) > 0)         # seq order == temporal order
+    assert np.all(np.diff(store.kf_seq[order]) > 0)
+
+
+def test_anchor_reassigned_on_keyframe_removal():
+    store = MapStore(_cfg(K=4, L=8))
+    lm = store.new_landmarks(2)
+    k0 = _add_kf(store, 0.0, lm)              # anchor = k0
+    k1 = _add_kf(store, 1.0, lm)
+    assert store.lm_anchor_kf[lm[0]] == k0
+    store.remove_keyframe(k0)
+    assert store.lm_anchor_kf[lm[0]] == k1    # earliest remaining observer
+    # removing the last observer frees the landmark entirely
+    store.remove_keyframe(k1)
+    assert not store.lm_valid[lm[0]]
+    assert lm[0] in store._free_lm
+
+
+def test_merge_frees_slot():
+    store = MapStore(_cfg(K=4, L=8))
+    lm = store.new_landmarks(2)
+    _add_kf(store, 0.0, lm)
+    store.merge_landmarks(int(lm[0]), int(lm[1]))
+    assert not store.lm_valid[lm[1]]
+    got = store.new_landmarks(1)
+    assert int(got[0]) == int(lm[1])
+
+
+def test_recycled_kf_slot_does_not_alias_old_identity():
+    """A stale reference (old slot id) must be detectable via kf_seq."""
+    store = MapStore(_cfg(K=4))
+    k0 = _add_kf(store, 0.0)
+    seq0 = int(store.kf_seq[k0])
+    store.remove_keyframe(k0)
+    k1 = _add_kf(store, 5.0)
+    assert k1 == k0                           # slot reused
+    assert int(store.kf_seq[k1]) != seq0      # but identity differs
+
+
+def test_e2e_tight_capacity_run_completes():
+    """End-to-end: capacities sized so a run can only finish if culling +
+    recycling work (cumulative KFs/landmarks exceed static capacity)."""
+    from ov2slam_tpu.io.runner import run_sequence
+    from ov2slam_tpu.io.synthetic import generate_sequence
+
+    seq = generate_sequence(n_frames=60, stereo=True, width=376, height=240,
+                            n_points=3000, seed=21, speed=0.09)
+    cfg = seq.make_config(max_keyframes=24, max_landmarks=2048)
+    cfg.kf_filtering_ratio = 0.65   # aggressive redundant-KF culling
+    res = run_sequence(cfg, seq, gt_poses=seq.gt_poses)
+    assert res.n_processed == 60
+    assert res.ate is not None and res.ate < 0.15
