@@ -231,3 +231,100 @@ def test_essential_ransac_and_decompose(rng):
         lie.make_pose(lie.pose_q(T_est), jnp.zeros(3)),
         lie.make_pose(jnp.asarray(T_lr[:4]), jnp.zeros(3)))[0])
     assert rot_err < 0.01
+
+
+# --------------------------------------------------------------- 5-point #
+
+def test_five_point_exact_general(rng):
+    from ov2slam_tpu.geometry.essential import five_point
+    pts_l, pts_r, T_lr = make_scene(rng, n=5)
+    xl = pts_l[:, :2] / pts_l[:, 2:]
+    xr = pts_r[:, :2] / pts_r[:, 2:]
+    Es, valid = five_point(jnp.asarray(xl, jnp.float32),
+                           jnp.asarray(xr, jnp.float32))
+    E_gt = np.array(essential_from_pose(jnp.asarray(T_lr)))
+    E_gt /= np.linalg.norm(E_gt)
+    Es, valid = np.array(Es), np.array(valid)
+    assert valid.sum() >= 1
+    errs = [min(np.abs(Es[i] - E_gt).max(), np.abs(Es[i] + E_gt).max())
+            for i in range(10) if valid[i]]
+    assert min(errs) < 1e-4
+
+
+def test_five_point_planar_outlier_gate(rng):
+    """Planar scene (wall) + gross outliers: the epipolar gate must keep
+    true correspondences and reject outliers. (Exact pose recovery from a
+    single plane is fundamentally two-fold ambiguous — what the front-end
+    needs from this RANSAC on EuRoC's wall-dominated V-rooms is outlier
+    DISCRIMINATION, `visual_front_end.cpp:446-656`.)"""
+    xy = rng.uniform(-2, 2, size=(80, 2))
+    z = 4.0 + 0.2 * xy[:, 0] + 0.1 * xy[:, 1]
+    pts_l = np.concatenate([xy, z[:, None]], axis=1)
+    T_lr = np.concatenate(
+        [np.array(lie.so3_exp(jnp.array([0.04, -0.09, 0.02]))),
+         np.array([0.35, 0.05, -0.08])])
+    M_rl = np.array(lie.pose_to_matrix(lie.pose_inverse(jnp.asarray(T_lr))))
+    pts_r = (M_rl[:3, :3] @ pts_l.T).T + M_rl[:3, 3]
+    focal = 458.0
+    xl = (pts_l[:, :2] / pts_l[:, 2:]).astype(np.float32)
+    xr = (pts_r[:, :2] / pts_r[:, 2:]).astype(np.float32)
+    xl += rng.normal(size=xl.shape).astype(np.float32) * (0.3 / focal)
+    xr += rng.normal(size=xr.shape).astype(np.float32) * (0.3 / focal)
+    # 20 gross outliers
+    out_idx = rng.choice(80, 20, replace=False)
+    xr_c = xr.copy()
+    xr_c[out_idx] += rng.normal(size=(20, 2)).astype(np.float32) * 0.15
+
+    _, inl, n = essential_ransac(
+        jax.random.PRNGKey(5), jnp.asarray(xl), jnp.asarray(xr_c),
+        jnp.ones(80, bool), focal=focal, err_th_px=1.5, n_iters=100)
+    inl = np.array(inl)
+    is_out = np.zeros(80, bool)
+    is_out[out_idx] = True
+    assert inl[~is_out].mean() > 0.9      # keeps >=90% of true matches
+    assert inl[is_out].mean() < 0.15      # admits <15% of outliers
+
+
+def test_five_point_in_ransac_beats_pure_eight_point_on_plane(rng):
+    """Same planar scene: hypotheses from the 8-point pool alone misfit
+    badly, documenting why the 5-point path exists."""
+    xy = rng.uniform(-2, 2, size=(60, 2))
+    pts_l = np.concatenate([xy, np.full((60, 1), 5.0)], axis=1)
+    T_lr = np.concatenate(
+        [np.array(lie.so3_exp(jnp.array([0.0, -0.06, 0.0]))),
+         np.array([0.4, 0.0, 0.0])])
+    M_rl = np.array(lie.pose_to_matrix(lie.pose_inverse(jnp.asarray(T_lr))))
+    pts_r = (M_rl[:3, :3] @ pts_l.T).T + M_rl[:3, 3]
+    focal = 458.0
+    xl = (pts_l[:, :2] / pts_l[:, 2:]).astype(np.float32)
+    xr = (pts_r[:, :2] / pts_r[:, 2:]).astype(np.float32)
+    xl += rng.normal(size=xl.shape).astype(np.float32) * (0.4 / focal)
+    xr += rng.normal(size=xr.shape).astype(np.float32) * (0.4 / focal)
+
+    # pure 8-point hypotheses
+    idx = rng.integers(0, 60, size=(100, 8))
+    E8 = eight_point(jnp.asarray(xl)[idx], jnp.asarray(xr)[idx])
+    from ov2slam_tpu.geometry.essential import five_point
+    idx5 = rng.integers(0, 60, size=(100, 5))
+    E5, v5 = jax.vmap(five_point)(jnp.asarray(xl)[idx5],
+                                  jnp.asarray(xr)[idx5])
+
+    E_gt = np.array(essential_from_pose(jnp.asarray(T_lr)))
+    E_gt /= np.linalg.norm(E_gt)
+
+    def best_err(Es, valid=None):
+        Es = np.asarray(Es).reshape(-1, 3, 3)
+        v = (np.ones(len(Es), bool) if valid is None
+             else np.asarray(valid).reshape(-1))
+        errs = []
+        for i in range(len(Es)):
+            if not v[i] or not np.isfinite(Es[i]).all():
+                continue
+            e = Es[i] / np.linalg.norm(Es[i])
+            errs.append(min(np.abs(e - E_gt).max(), np.abs(e + E_gt).max()))
+        return min(errs)
+
+    err8 = best_err(E8)
+    err5 = best_err(E5, v5)
+    assert err5 < 0.05              # 5-pt nails it
+    assert err5 < 0.5 * err8        # 8-pt pool is much worse on the plane
