@@ -29,7 +29,7 @@ from ..geometry.essential import essential_from_pose, relative_pose_ransac, samp
 from ..geometry.pnp import p3p_ransac
 from ..geometry.triangulation import triangulate_midpoint
 from ..ops.brief import describe_brief
-from ..ops.detect import detect_grid_fast, detect_single_scale
+from ..ops.detect import detect_gftt, detect_grid_fast, detect_single_scale
 from ..ops.klt import fb_klt_track
 from ..solvers.pnp_refine import pnp_refine
 from .frontend_step import CalibArrays, fused_track_step
@@ -373,7 +373,14 @@ class FrontEnd:
         img = self.cur_pyr[0]
         self.prof.start("1.KF_DetectDescribe")
 
-        if cfg.use_singlescale_detector or cfg.use_shi_tomasi:
+        # dispatch mirrors `map_manager.cpp:312-323`: use_shi_tomasi →
+        # GFTT (two-pass + cornerSubPix), use_fast → grid FAST,
+        # use_singlescale_detector → single-scale Shi-Tomasi
+        if cfg.use_shi_tomasi:
+            kps, scores, ok = detect_gftt(
+                img, jnp.asarray(f.px), jnp.asarray(f.valid),
+                self._quality, cell_size=cfg.max_dist, max_out=cfg.max_kps)
+        elif cfg.use_singlescale_detector:
             kps, scores, ok = detect_single_scale(
                 img, jnp.asarray(f.px), jnp.asarray(f.valid),
                 self._quality, cell_size=cfg.max_dist, max_out=cfg.max_kps)

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..geometry.pnp import p3p_ransac
 from ..ops.brief import describe_brief
-from ..ops.detect import detect_grid_fast, detect_single_scale
+from ..ops.detect import detect_gftt, detect_grid_fast, detect_single_scale
 from ..ops.matching import knn_match_2nn
 from ..solvers.pnp_refine import pnp_refine
 from ..utils.config import SlamConfig
@@ -75,7 +75,11 @@ class Relocalizer:
         # 1) fresh detections + descriptors on the lost frame
         empty_px = jnp.zeros((N, 2), jnp.float32)
         empty_valid = jnp.zeros(N, bool)
-        if cfg.use_singlescale_detector or cfg.use_shi_tomasi:
+        if cfg.use_shi_tomasi:
+            kps, _, det_ok = detect_gftt(
+                img, empty_px, empty_valid, frontend._quality,
+                cell_size=cfg.max_dist, max_out=N)
+        elif cfg.use_singlescale_detector:
             kps, _, det_ok = detect_single_scale(
                 img, empty_px, empty_valid, frontend._quality,
                 cell_size=cfg.max_dist, max_out=N)

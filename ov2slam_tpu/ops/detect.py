@@ -108,7 +108,8 @@ def _subpix_quadratic(resp_pad, px, py):
     return jnp.clip(dx, -0.5, 0.5), jnp.clip(dy, -0.5, 0.5)
 
 
-@partial(jax.jit, static_argnames=("cell_size", "max_out", "refine"))
+@partial(jax.jit, static_argnames=("cell_size", "max_out", "refine",
+                                   "two_pass"))
 def grid_detect(
     response,
     existing_kps,
@@ -117,6 +118,7 @@ def grid_detect(
     cell_size: int,
     max_out: int,
     refine: bool = True,
+    two_pass: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-cell top-1 detection with occupancy masking.
 
@@ -128,6 +130,10 @@ def grid_detect(
         for the relative-quality semantics).
       cell_size: grid cell size in px (nmaxdist).
       max_out: static output capacity (>= number of cells).
+      two_pass: GFTT fill-in semantics (`feature_extractor.cpp:104-221`):
+        candidates above quality_th rank first, but cells whose best
+        response only clears quality_th/2 are still filled (the
+        reference's second `goodFeaturesToTrack` pass at halved quality).
 
     Returns:
       kps (max_out, 2) xy, scores (max_out,), valid (max_out,) —
@@ -176,7 +182,8 @@ def grid_detect(
     d2 = jnp.sum((cand[:, None, :] - ex[None, :, :]) ** 2, axis=-1)
     near_existing = (d2 < radius * radius).any(axis=1)
 
-    ok = (score > quality_th) & (~occupied) & (~near_existing)
+    accept_th = quality_th / 2.0 if two_pass else quality_th
+    ok = (score > accept_th) & (~occupied) & (~near_existing)
 
     if refine:
         resp_pad = jnp.pad(response, 1, mode="edge")
@@ -186,8 +193,14 @@ def grid_detect(
 
     kps = jnp.stack([px + dx, py + dy], axis=-1)
 
-    # rank by score, pad/truncate to max_out
-    order = jnp.argsort(jnp.where(ok, -score, jnp.inf))
+    # rank by score, pad/truncate to max_out; in two-pass mode first-pass
+    # candidates (above the full quality) outrank second-pass fill-ins
+    rank_score = score
+    if two_pass:
+        bonus = jnp.where(score > quality_th,
+                          jnp.full_like(score, 1e30), 0.0)
+        rank_score = score + bonus
+    order = jnp.argsort(jnp.where(ok, -rank_score, jnp.inf))
     kps = kps[order][:max_out]
     score = score[order][:max_out]
     ok = ok[order][:max_out]
@@ -207,6 +220,88 @@ def grid_detect(
         score = jnp.pad(score, (0, pad))
         ok = jnp.pad(ok, (0, pad))
     return kps, score, ok
+
+
+def _bilinear_scalar(im, x, y):
+    """Bilinear image sample at fractional (x, y), edge-clamped."""
+    H, W = im.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = im[y0, x0]
+    v01 = im[y0, x0 + 1]
+    v10 = im[y0 + 1, x0]
+    v11 = im[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+@partial(jax.jit, static_argnames=("half_win", "iters"))
+def corner_subpix(img, kps, valid, half_win: int = 3, iters: int = 5):
+    """Iterative sub-pixel corner refinement (cv::cornerSubPix semantics,
+    used by `detectGFTT`, `feature_extractor.cpp:190-218`).
+
+    For an ideal corner q, every window gradient satisfies
+    ∇I_iᵀ (q − p_i) = 0, so q solves G q = b with
+    G = Σ w ∇I∇Iᵀ and b = Σ w ∇I∇Iᵀ p. The reference iterates until the
+    movement drops below 0.01 px; here a fixed ``iters`` count (vmapped
+    over keypoints, bilinear gradient gathers) — each step is a full
+    linear solve, so convergence is quadratic and 5 steps ≫ suffice.
+    Diverging refinements (total move > half_win) fall back to the input.
+    """
+    gx, gy = scharr_gradients(img)
+    r = jnp.arange(-half_win, half_win + 1, dtype=img.dtype)
+    ox, oy = jnp.meshgrid(r, r, indexing="xy")
+    off = jnp.stack([ox.ravel(), oy.ravel()], -1)           # (K, 2)
+    w = jnp.exp(-(off ** 2).sum(-1) / (2.0 * (half_win / 2.0) ** 2))
+
+    def refine_one(c0):
+        def step(c, _):
+            px = c[0] + off[:, 0]
+            py = c[1] + off[:, 1]
+            gxs = _bilinear_scalar(gx, px, py)
+            gys = _bilinear_scalar(gy, px, py)
+            a = (w * gxs * gxs).sum()
+            b = (w * gxs * gys).sum()
+            d = (w * gys * gys).sum()
+            bx = (w * (gxs * gxs * px + gxs * gys * py)).sum()
+            by = (w * (gxs * gys * px + gys * gys * py)).sum()
+            det = a * d - b * b
+            ok = jnp.abs(det) > 1e-9
+            qx = jnp.where(ok, (d * bx - b * by) / det, c[0])
+            qy = jnp.where(ok, (-b * bx + a * by) / det, c[1])
+            # bound the per-step move for stability on flat windows
+            qx = c[0] + jnp.clip(qx - c[0], -1.0, 1.0)
+            qy = c[1] + jnp.clip(qy - c[1], -1.0, 1.0)
+            return jnp.stack([qx, qy]), None
+
+        c, _ = jax.lax.scan(step, c0, None, length=iters)
+        return c
+
+    out = jax.vmap(refine_one)(kps)
+    moved = jnp.linalg.norm(out - kps, axis=-1)
+    keep = (moved <= half_win) & valid
+    return jnp.where(keep[:, None], out, kps)
+
+
+@partial(jax.jit, static_argnames=("cell_size", "max_out"))
+def detect_gftt(img, existing_kps, existing_valid, quality_level,
+                cell_size: int, max_out: int):
+    """GFTT detection (`detectGFTT`, `feature_extractor.cpp:104-221`):
+    masked Shi-Tomasi, TWO-pass fill-in (second pass at halved quality
+    for cells the first pass leaves empty), then iterative cornerSubPix
+    refinement on the image — the reference's 'average' profile detector
+    (`use_shi_tomasi`, `map_manager.cpp:312-314`). One fused jit."""
+    resp = shi_tomasi_response(img)
+    th = quality_level * jnp.max(resp)
+    kps, scores, ok = grid_detect(resp, existing_kps, existing_valid, th,
+                                  cell_size=cell_size, max_out=max_out,
+                                  refine=True, two_pass=True)
+    kps = corner_subpix(img, kps, ok)
+    return kps, scores, ok
 
 
 @partial(jax.jit, static_argnames=("cell_size", "max_out"))

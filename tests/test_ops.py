@@ -306,3 +306,85 @@ def test_line_min_sad_recovers_disparity():
             good += 1
     assert checked >= 20
     assert good / checked > 0.7, f"{good}/{checked}"
+
+
+# ------------------------------------------------------------------ GFTT #
+
+def _render_x_corners(centers, H=120, W=160, sharp=0.6):
+    """Analytic checkerboard X-corners at fractional ``centers`` (x, y):
+    f = s(a)s(b) + (1-s(a))(1-s(b)) with smooth steps along two axes.
+    The saddle point of each corner is exactly at the center. Corners must
+    be well separated (>= 4x the envelope) or their fields interfere and
+    the true optimum moves off-center."""
+    yy, xx = np.meshgrid(np.arange(H, dtype=np.float64),
+                         np.arange(W, dtype=np.float64), indexing="ij")
+    img = np.full((H, W), 0.5)
+    for (cx, cy) in centers:
+        a = 1.0 / (1.0 + np.exp(-(xx - cx) / sharp))
+        b = 1.0 / (1.0 + np.exp(-(yy - cy) / sharp))
+        pat = a * b + (1 - a) * (1 - b)
+        r2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        m = np.exp(-r2 / (2 * 10.0 ** 2))
+        img = img * (1 - m) + pat * m
+    return (img * 255.0).astype(np.float32)
+
+
+def test_corner_subpix_accuracy_under_01px():
+    """cornerSubPix parity (`feature_extractor.cpp:190-218`): refined
+    corners must land within 0.1 px of the true saddle points."""
+    from ov2slam_tpu.ops.detect import corner_subpix
+
+    rng = np.random.default_rng(3)
+    # well-separated grid + fractional jitter
+    gx, gy = np.meshgrid([35.0, 80.0, 125.0], [35.0, 85.0])
+    centers = (np.stack([gx.ravel(), gy.ravel()], -1)
+               + rng.uniform(-0.5, 0.5, (6, 2)))
+    img = _render_x_corners(centers)
+    # start from integer-rounded positions (worst-case 0.5 px off)
+    kps0 = np.round(centers).astype(np.float32)
+    refined = np.array(corner_subpix(
+        jnp.asarray(img), jnp.asarray(kps0), jnp.ones(len(kps0), bool)))
+    err = np.linalg.norm(refined - centers, axis=-1)
+    assert err.max() < 0.1, err
+
+
+def test_detect_gftt_finds_and_refines(seq):
+    """detect_gftt end-to-end: detects the rendered corners and refines
+    each to <0.1 px; two-pass fill-in admits weaker corners too."""
+    from ov2slam_tpu.ops.detect import detect_gftt
+
+    rng = np.random.default_rng(7)
+    gx, gy = np.meshgrid([40.0, 120.0], [30.0, 90.0])
+    centers = (np.stack([gx.ravel(), gy.ravel()], -1)
+               + rng.uniform(-0.5, 0.5, (4, 2)))
+    img = _render_x_corners(centers)
+    N = 128
+    kps, scores, ok = detect_gftt(
+        jnp.asarray(img), jnp.zeros((N, 2), jnp.float32),
+        jnp.zeros(N, bool), 0.05, cell_size=20, max_out=N)
+    kps, ok = np.array(kps), np.array(ok)
+    det = kps[ok]
+    for c in centers:
+        d = np.linalg.norm(det - c, axis=-1).min()
+        assert d < 0.1, (c, d)
+
+
+def test_gftt_two_pass_fills_weak_cells():
+    """A weak corner below the first-pass quality gate but above half of
+    it must still be detected (two-pass fill-in,
+    `feature_extractor.cpp:104-221`)."""
+    from ov2slam_tpu.ops.detect import grid_detect, shi_tomasi_response
+
+    strong = _render_x_corners([(30.0, 30.0)], H=80, W=160)
+    weak = _render_x_corners([(110.0, 30.0)], H=80, W=160)
+    img = np.maximum(strong, 0.5 * weak + 0.25 * 255)
+    resp = shi_tomasi_response(jnp.asarray(img))
+    th = 0.4 * float(jnp.max(resp))   # weak corner sits below this
+    N = 128
+    _, s1, ok1 = grid_detect(resp, jnp.zeros((N, 2), jnp.float32),
+                             jnp.zeros(N, bool), th, cell_size=40,
+                             max_out=N, two_pass=False)
+    _, s2, ok2 = grid_detect(resp, jnp.zeros((N, 2), jnp.float32),
+                             jnp.zeros(N, bool), th, cell_size=40,
+                             max_out=N, two_pass=True)
+    assert int(np.array(ok2).sum()) > int(np.array(ok1).sum())
