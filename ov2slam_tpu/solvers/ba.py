@@ -9,8 +9,12 @@ trust region, Huber loss, 5 iterations) with a fully batched array program:
   ``[I | -hat(p_cam)]`` for left-multiplicative updates on T_cw),
 - Huber IRLS weights instead of Ceres' corrector (same influence function),
 - per-landmark 3x3 Hessian blocks eliminated in closed form; the reduced
-  camera system is assembled *densely* (the local window is <= 32 poses →
-  a 192x192 system, trivially Cholesky-factorable on-chip),
+  camera system is assembled *densely* for local windows (<= 64 poses →
+  a <=384x384 system, trivially factorable on-chip) and solved MATRIX-FREE
+  for large windows (offline fullBA over hundreds of KFs): block-Jacobi
+  preconditioned CG where each S·x product is three O(obs) scatter/gather
+  einsums — no (Lw, Kw) cross tensor is ever materialized, so memory
+  stays O(observations) like Ceres' SPARSE_SCHUR (`optimizer.cpp:1674`),
 - fixed iteration counts with per-iteration accept/reject damping updates
   (no wall-clock aborts: `signalStopLocalBA` semantics become bounded
   compute, `optimizer.cpp:2334-2344`),
@@ -107,6 +111,72 @@ def _huber_weight(chi2, th):
     return jnp.where(chi2 <= th, 1.0, jnp.sqrt(th / jnp.maximum(chi2, 1e-12)))
 
 
+# dense reduced camera system up to this many poses; above it the
+# matrix-free PCG path engages (fullBA-scale problems)
+DENSE_SCHUR_MAX_KFS = 64
+_CG_ITERS = 100
+
+
+def _schur_pcg(Hpp_d, bp, Hll_inv, bl, Wo, obs_kf, obs_lm, free_pose,
+               n_iters: int = _CG_ITERS):
+    """Matrix-free block-Jacobi-preconditioned CG on the Schur complement.
+
+    S x = (Hpp_d − Σ_l Z_l Hll⁻¹ Z_lᵀ) x with Z never materialized: each
+    product gathers x at the observing pose, eliminates through the
+    landmark 3x3, and scatters back — O(obs) memory and flops. This is
+    the TPU analogue of Ceres' ITERATIVE_SCHUR, used for the reference's
+    offline fullBA scale (`optimizer.cpp:1674-2332`).
+    """
+    Kw = Hpp_d.shape[0]
+    free = free_pose[:, None].astype(bool)
+
+    def matvec(x):                             # x (Kw, 6)
+        x = jnp.where(free, x, 0.0)
+        y = jnp.zeros_like(bl).at[obs_lm].add(
+            jnp.einsum("oab,oa->ob", Wo, x[obs_kf]))      # (Lw, 3)
+        t = jnp.einsum("lab,lb->la", Hll_inv, y)
+        corr = jnp.zeros_like(bp).at[obs_kf].add(
+            jnp.einsum("oab,ob->oa", Wo, t[obs_lm]))
+        out = jnp.einsum("kab,kb->ka", Hpp_d, x) - corr
+        return jnp.where(free, out, x)
+
+    b = bp - jnp.zeros_like(bp).at[obs_kf].add(
+        jnp.einsum("oab,ob->oa", Wo,
+                   jnp.einsum("lab,lb->la", Hll_inv, bl)[obs_lm]))
+    b = jnp.where(free, b, 0.0)
+
+    # block-Jacobi preconditioner from the (damped) pose Hessian diagonal
+    eyeK = jnp.eye(6, dtype=bp.dtype)
+    M_inv = jnp.linalg.inv(Hpp_d + 1e-6 * eyeK[None])
+    M_inv = jnp.where(free[..., None], M_inv, eyeK[None])
+
+    def precond(v):
+        return jnp.einsum("kab,kb->ka", M_inv, v)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(carry, _):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, p0, rz0), None,
+                                   length=n_iters)
+    return jnp.where(free, x, 0.0)
+
+
 def _solve_normal_iteration(T_cw, points, lam, obs_kf, obs_lm, obs_px,
                             obs_cam, w_obs, free_pose, params):
     """One damped Schur-LM step. Returns (new_T_cw, new_points, cost)."""
@@ -145,9 +215,20 @@ def _solve_normal_iteration(T_cw, points, lam, obs_kf, obs_lm, obs_px,
     Hll_inv = jnp.linalg.inv(
         Hll_d + 1e-8 * eyeL[None])            # (Lw, 3, 3)
 
-    # per-observation cross blocks W_o = Jp^T w Jl  (each (kf, lm) pair has
-    # exactly one observation row per camera; accumulate by (lm, kf))
+    # per-observation cross blocks W_o = Jp^T w Jl
     Wo = jnp.einsum("oik,oil->okl", wJp, Jl)  # (O, 6, 3)
+
+    if Kw > DENSE_SCHUR_MAX_KFS:
+        # matrix-free PCG — no (Lw, Kw) cross tensor at fullBA scale
+        dx_pose = _schur_pcg(Hpp_d, bp, Hll_inv, bl, Wo, obs_kf, obs_lm,
+                             free_pose)
+        # back-substitute landmarks: dX = Hll_inv (bl - Z^T dx)
+        corr = jnp.zeros_like(bl).at[obs_lm].add(
+            jnp.einsum("oab,oa->ob", Wo, dx_pose[obs_kf]))
+        dx_lm = jnp.einsum("lab,lb->la", Hll_inv, bl - corr)
+        new_T_cw = lie.pose_left_update(T_cw, dx_pose * free_pose[:, None])
+        return new_T_cw, points + dx_lm
+
     Z = jnp.zeros((Lw, Kw, 6, 3), r.dtype).at[obs_lm, obs_kf].add(Wo)
 
     # Schur complement S = Hpp_d - Σ_l Z_l Hll_inv_l Z_l^T

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import lie, lie_np
-from .ba import BAParams, _huber_weight
+from .ba import DENSE_SCHUR_MAX_KFS, BAParams, _huber_weight
 
 
 def invdepth_state(prob, params: BAParams):
@@ -157,6 +157,108 @@ def _total_cost_inv(T_cw, lm_rho, lm_anchor, lm_ray, obs_kf, obs_lm,
     return jnp.sum(rho * w_obs * depth_ok)
 
 
+def _solve_iteration_inv_cg(T_cw, lm_rho, lam, anch_kf, obs_kf, obs_lm,
+                            w, free_pose, r, J_obs, J_anch, J_rho,
+                            wJ_obs, wJ_anch, wJ_rho, Hrr, brho,
+                            n_iters: int = 100):
+    """Matrix-free PCG step for huge windows (poses + scalar inv-depths).
+
+    Each observation couples TWO poses (observer + anchor) and one scalar
+    landmark; all Hessian products are per-observation gathers/scatters.
+    """
+    Kw = T_cw.shape[0]
+    free = free_pose[:, None].astype(bool)
+
+    # per-observation cross vectors g = Jposeᵀ w J_rho (6,)
+    g_obs = jnp.einsum("oik,oi->ok", wJ_obs, J_rho)       # (O, 6)
+    g_anch = jnp.einsum("oik,oi->ok", wJ_anch, J_rho)
+
+    bp = jnp.zeros((Kw, 6), r.dtype)
+    bp = bp.at[obs_kf].add(-jnp.einsum("oik,oi->ok", wJ_obs, r))
+    bp = bp.at[anch_kf].add(-jnp.einsum("oik,oi->ok", wJ_anch, r))
+
+    Hrr_d = Hrr + lam * jnp.maximum(Hrr, 1e-6) + 1e-8
+
+    # damped diagonal of the pose Hessian (for LM damping + matvec)
+    same = (obs_kf == anch_kf)[:, None]
+    diag = jnp.zeros((Kw, 6), r.dtype)
+    diag = diag.at[obs_kf].add(jnp.einsum("oik,oik->ok", wJ_obs, J_obs))
+    diag = diag.at[anch_kf].add(jnp.einsum("oik,oik->ok", wJ_anch, J_anch))
+    diag = diag.at[obs_kf].add(
+        2.0 * same * jnp.einsum("oik,oik->ok", wJ_obs, J_anch))
+    damp = lam * jnp.maximum(diag, 1e-6)
+
+    def matvec(x):                                        # S·x, x (Kw, 6)
+        x = jnp.where(free, x, 0.0)
+        # Hpp x (matrix-free): a_o = P_o x, out = Σ Pwᵀ a
+        a = (jnp.einsum("oik,ok->oi", J_obs, x[obs_kf])
+             + jnp.einsum("oik,ok->oi", J_anch, x[anch_kf]))   # (O, 2)
+        out = jnp.zeros((Kw, 6), r.dtype)
+        out = out.at[obs_kf].add(jnp.einsum("oik,oi->ok", wJ_obs, a))
+        out = out.at[anch_kf].add(jnp.einsum("oik,oi->ok", wJ_anch, a))
+        out = out + damp * x
+        # Schur correction: − Z Hrr⁻¹ Zᵀ x
+        y = jnp.zeros_like(Hrr).at[obs_lm].add(
+            jnp.einsum("ok,ok->o", g_obs, x[obs_kf])
+            + jnp.einsum("ok,ok->o", g_anch, x[anch_kf]))
+        t = y / Hrr_d
+        out = out.at[obs_kf].add(-g_obs * t[obs_lm][:, None])
+        out = out.at[anch_kf].add(-g_anch * t[obs_lm][:, None])
+        return jnp.where(free, out, x)
+
+    tb = brho / Hrr_d
+    b = bp
+    b = b.at[obs_kf].add(-g_obs * tb[obs_lm][:, None])
+    b = b.at[anch_kf].add(-g_anch * tb[obs_lm][:, None])
+    b = jnp.where(free, b, 0.0)
+
+    # block-Jacobi preconditioner from the damped pose-Hessian diagonal
+    # blocks (cross obs/anchor terms included where the two coincide)
+    eyeK = jnp.eye(6, dtype=r.dtype)
+    Dp = jnp.zeros((Kw, 6, 6), r.dtype)
+    Dp = Dp.at[obs_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
+    Dp = Dp.at[anch_kf].add(jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
+    cross = jnp.einsum("oik,oil->okl", wJ_obs, J_anch) * same[..., None]
+    Dp = Dp.at[obs_kf].add(cross + cross.transpose(0, 2, 1))
+    Dp = Dp + damp[..., None] * eyeK[None] + 1e-6 * eyeK[None]
+    M_inv = jnp.linalg.inv(Dp)
+    M_inv = jnp.where(free[..., None], M_inv, eyeK[None])
+
+    def precond(v):
+        return jnp.einsum("kab,kb->ka", M_inv, v)
+
+    x0 = jnp.zeros_like(b)
+    z0 = precond(b)
+    rz0 = jnp.sum(b * z0)
+
+    def body(carry, _):
+        x, res, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-20, rz / denom, 0.0)
+        x = x + alpha * p
+        res = res - alpha * Ap
+        z = precond(res)
+        rz_new = jnp.sum(res * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-20, rz_new / rz, 0.0)
+        p = z + beta * p
+        return (x, res, p, rz_new), None
+
+    (dx_pose, _, _, _), _ = jax.lax.scan(body, (x0, b, z0, rz0), None,
+                                         length=n_iters)
+    dx_pose = jnp.where(free, dx_pose, 0.0)
+
+    # back-substitute rho
+    corr = jnp.zeros_like(Hrr).at[obs_lm].add(
+        jnp.einsum("ok,ok->o", g_obs, dx_pose[obs_kf])
+        + jnp.einsum("ok,ok->o", g_anch, dx_pose[anch_kf]))
+    d_rho = (brho - corr) / Hrr_d
+
+    new_T_cw = lie.pose_left_update(T_cw, dx_pose)
+    new_rho = jnp.maximum(lm_rho + d_rho, 1e-6)
+    return new_T_cw, new_rho
+
+
 def _solve_iteration_inv(T_cw, lm_rho, lam, lm_anchor, lm_ray,
                          obs_kf, obs_lm, obs_px, obs_cam, w, free_pose,
                          params):
@@ -183,6 +285,15 @@ def _solve_iteration_inv(T_cw, lm_rho, lam, lm_anchor, lm_ray,
         jnp.einsum("oi,oi->o", wJ_rho, J_rho))
     brho = jnp.zeros((Lw,), r.dtype).at[obs_lm].add(
         -jnp.einsum("oi,oi->o", wJ_rho, r))
+
+    if Kw > DENSE_SCHUR_MAX_KFS:
+        # fullBA scale: matrix-free PCG — neither the (Kw, Kw, 6, 6) pose
+        # Hessian nor the (Lw, Kw, 6) cross tensor is materialized; every
+        # S·x is O(obs) scatter/gather work (the TPU analogue of Ceres'
+        # ITERATIVE_SCHUR for `optimizer.cpp:1674-2332`)
+        return _solve_iteration_inv_cg(
+            T_cw, lm_rho, lam, anch_kf, obs_kf, obs_lm, w, free_pose,
+            r, J_obs, J_anch, J_rho, wJ_obs, wJ_anch, wJ_rho, Hrr, brho)
 
     O = r.shape[0]
     if O * Kw * 12 * 4 <= 256 * 1024 * 1024:
