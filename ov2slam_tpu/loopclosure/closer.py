@@ -9,9 +9,10 @@ P3P-RANSAC (`:765-830`) → loop-local-map projection matching + PnP
 correction to keyframes and landmarks, and merge duplicate landmarks
 (`map_manager.cpp:801-882`).
 
-Acceptance gates mirror the reference: >=15 knn matches, >=10 epipolar
-inliers, >=5 P3P inliers, >=30 PnP inliers (`loop_closer.cpp:217,227,
-251,288`).
+Acceptance gates are the reference's counts (>=15 knn matches, >=10
+epipolar inliers, >=5 P3P inliers, >=30 PnP inliers,
+`loop_closer.cpp:217,227,251,288`) scaled from its ~300-kp budget to the
+configured grid budget, with RANSAC-solvability floors.
 """
 
 from __future__ import annotations
@@ -53,11 +54,46 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ #
 
-    def process_keyframe(self, kfid: int) -> bool:
-        """Query + verify + close. Returns True if a loop was closed."""
+    def _extra_query_kps(self, img, kps_px, kps_valid):
+        """Up to max_kps extra FAST/BRIEF keypoints for the place query
+        (`loop_closer.cpp:89-140`: the reference detects up to 300 fresh
+        FAST corners masked around tracked kps and inserts them into the
+        vocabulary alongside the landmark descriptors — tracked sets are
+        sparse, so this materially lifts recall at low kp budgets).
+        The extra kps are query/index-only; they never enter the map."""
+        import jax.numpy as jnp
+
+        from ..ops.brief import describe_brief
+        from ..ops.detect import detect_grid_fast
+
+        cfg = self.cfg
+        # a finer grid than the tracker's: 4x the cells, best max_kps kept
+        kps, _, ok = detect_grid_fast(
+            img, jnp.asarray(kps_px), jnp.asarray(kps_valid),
+            20.0, cell_size=max(10, cfg.max_dist // 2),
+            max_out=cfg.max_kps)
+        desc, ok2 = describe_brief(img, kps, ok)
+        return np.array(kps, np.float32), np.array(desc, np.uint32), \
+            np.array(ok2)
+
+    def process_keyframe(self, kfid: int, img=None) -> bool:
+        """Query + verify + close. Returns True if a loop was closed.
+
+        ``img``: the keyframe's image (pyramid base); when given, extra
+        FAST/BRIEF keypoints augment the place query + index entry."""
         m = self.map
         desc = m.obs_desc[kfid]
         valid = m.obs_lmid[kfid] >= 0
+        self._extra = None   # (px, desc, valid) of the fresh detections
+        if img is not None:
+            xp, xd, xv = self._extra_query_kps(img, m.obs_px[kfid], valid)
+            self._extra = (xp, xd, xv)
+            desc = np.concatenate([desc, xd], axis=0)
+            valid = np.concatenate([valid, xv], axis=0)
+        else:
+            # keep the index row shape static regardless of augmentation
+            desc = np.concatenate([desc, np.zeros_like(desc)], axis=0)
+            valid = np.concatenate([valid, np.zeros_like(valid)], axis=0)
 
         self.prof.start("4.LC_QueryIndex")
         # exclude covisible KFs (`loop_closer.cpp:201-209`)
@@ -84,6 +120,16 @@ class LoopCloser:
         cfg = self.cfg
         m = self.map
 
+        # acceptance gates scaled to the keypoint budget: the reference's
+        # absolute 15/10/5/30 counts (`loop_closer.cpp:217,227,251,288`)
+        # assume its ~300-kp budget; at the fast profile's ~160 cells a
+        # true revisit yields proportionally fewer matches
+        gy, gx = cfg.grid_cells
+        budget = gy * gx
+        knn_gate = max(8, int(round(budget * 15 / 300)))
+        epi_gate = max(6, int(round(budget * 10 / 300)))
+        p3p_gate = max(4, int(round(budget * 5 / 300)))
+
         cur_valid = m.obs_lmid[kfid] >= 0
         cand_valid = m.obs_lmid[cand] >= 0
 
@@ -94,7 +140,7 @@ class LoopCloser:
             max_dist_bits=128, ratio=0.85)
         idx = np.array(idx)
         matched = np.nonzero(idx >= 0)[0]
-        if len(matched) < 15:
+        if len(matched) < knn_gate:
             return False
 
         cur_px = m.obs_px[kfid][matched]
@@ -115,7 +161,7 @@ class LoopCloser:
             self._key(), jnp.asarray(xl), jnp.asarray(xr), jnp.asarray(vm),
             focal=fx, err_th_px=cfg.ransac_err,
             n_iters=min(1000, 10 * cfg.ransac_iter))
-        if int(n_epi) < 10:
+        if int(n_epi) < epi_gate:
             return False
         epi_inl = np.array(epi_inl)[:n]
         matched = matched[epi_inl]
@@ -125,7 +171,7 @@ class LoopCloser:
         is3d = m.lm_valid[lm_cand] & m.lm_is3d[lm_cand]
         rows3d = matched[is3d]
         lms3d = lm_cand[is3d]
-        if len(rows3d) < 5:
+        if len(rows3d) < p3p_gate:
             return False
         N = cfg.max_kps
         pts = np.zeros((N, 3), np.float32)
@@ -140,16 +186,19 @@ class LoopCloser:
             self._key(), jnp.asarray(bv), jnp.asarray(pts),
             jnp.asarray(px), jnp.asarray(vmask), fx, fy, cx, cy,
             err_th=cfg.ransac_err, n_iters=cfg.ransac_iter)
-        if int(n_p3p) < 5:
+        if int(n_p3p) < p3p_gate:
             return False
 
         # 4) loop-local-map projection matching + PnP refinement.
-        # The reference's >=30-inlier gate (`loop_closer.cpp:288`) assumes
-        # its ~300-kp budget; scale to ours (~20% of grid cells ≈ 30/160).
-        gy, gx = cfg.grid_cells
-        pnp_gate = max(12, int(0.2 * gy * gx))
-        T_loop, n_inliers, extra = self._track_loop_local_map(
+        # The reference's >=30-inlier gate (`loop_closer.cpp:288`) is 10%
+        # of its ~300-kp budget with a local map of similar visible size;
+        # after keyframe/landmark culling the candidate's local map can
+        # be much thinner, so the gate is ALSO bounded by what is
+        # achievable: 35% of the in-view local map, floor 10.
+        T_loop, n_inliers, extra, n_in_view = self._track_loop_local_map(
             kfid, cand, np.array(T_p3p))
+        pnp_gate = max(10, min(int(round(budget * 30 / 300)),
+                               int(round(0.35 * n_in_view))))
         if n_inliers < pnp_gate:
             return False
 
@@ -164,70 +213,105 @@ class LoopCloser:
         """Project the candidate's local map into the P3P pose and match
         descriptors, then PnP (`trackLoopLocalMap`,
         `loop_closer.cpp:502-763`). Returns (T_refined, n_inliers,
-        extra_matches [(cur_slot, lmid)])."""
+        extra_matches [(cur_slot, lmid)], n_in_view)."""
         cfg = self.cfg
         m = self.map
         # local map: 3D landmarks of the candidate and its covisible KFs
         local = set(int(l) for l in m.kf_landmark_ids(cand, only_3d=True))
-        for k in m.covisible_kfs(cand, min_score=5, max_n=8):
+        for k in m.covisible_kfs(cand, min_score=1, max_n=12):
             local |= set(int(l) for l in m.kf_landmark_ids(int(k),
                                                            only_3d=True))
         local = np.asarray(sorted(local), np.int32)
         if len(local) == 0:
-            return T_init, 0, []
+            return T_init, 0, [], 0
 
-        T_cw = lie_np.pose_inverse(T_init.astype(np.float64))
-        pc = lie_np.pose_apply(T_cw, m.lm_pos[local].astype(np.float64))
-        z = pc[:, 2]
         fx, fy = float(self.cam.fx), float(self.cam.fy)
         cx, cy = float(self.cam.cx), float(self.cam.cy)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            proj = np.stack([pc[:, 0] / z * fx + cx,
-                             pc[:, 1] / z * fy + cy], -1)
-        inb = ((z > 0.1) & (proj[:, 0] >= 0) & (proj[:, 0] < self.cam.width)
-               & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height))
-        local, proj = local[inb], proj[inb]
-        if len(local) == 0:
-            return T_init, 0, []
+        gy, gx = cfg.grid_cells
+        pair_gate = max(6, int(round(gy * gx * 10 / 300)))
 
-        L = len(local)
-        cap = ((L + 127) // 128) * 128
-        proj_p = np.zeros((cap, 2), np.float32)
-        pv = np.zeros(cap, bool)
-        pdesc = np.zeros((cap, 8), np.uint32)
-        proj_p[:L] = proj
-        pv[:L] = True
-        pdesc[:L] = m.lm_desc[local]
+        # match targets = tracked kps ++ the extra FAST/BRIEF detections
+        # from the place query: at low kp budgets a projected landmark
+        # often has NO tracked kp nearby, but the dense extra detections
+        # still witness it. Extra rows verify the pose (PnP inliers) but
+        # never merge into the map (they own no landmark slot).
+        N0 = cfg.max_kps
+        all_px = m.obs_px[kfid]
+        all_valid = m.obs_lmid[kfid] >= 0
+        all_desc = m.obs_desc[kfid]
+        if self._extra is not None:
+            xp, xd, xv = self._extra
+            all_px = np.concatenate([all_px, xp], axis=0)
+            all_valid = np.concatenate([all_valid, xv], axis=0)
+            all_desc = np.concatenate([all_desc, xd], axis=0)
 
-        kp_valid = m.obs_lmid[kfid] >= 0
-        idx, _ = projection_match(
-            jnp.asarray(proj_p), jnp.asarray(pv), jnp.asarray(pdesc),
-            jnp.asarray(m.obs_px[kfid]), jnp.asarray(kp_valid),
-            jnp.asarray(m.obs_desc[kfid]),
-            max_px_dist=max(10.0, 2 * cfg.max_proj_pxdist),
-            max_dist_bits=int(cfg.max_desc_dist * 256))
-        idx = np.array(idx)[:L]
-        pairs = [(int(idx[i]), int(local[i])) for i in range(L)
-                 if idx[i] >= 0]
-        if len(pairs) < 10:
-            return T_init, 0, []
+        def match_round(T, radius):
+            """Project the local map at pose T and claim current-KF kps
+            within ``radius`` px with agreeing descriptors."""
+            T_cw = lie_np.pose_inverse(T.astype(np.float64))
+            pc = lie_np.pose_apply(T_cw, m.lm_pos[local].astype(np.float64))
+            z = pc[:, 2]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = np.stack([pc[:, 0] / z * fx + cx,
+                                 pc[:, 1] / z * fy + cy], -1)
+            inb = ((z > 0.1) & (proj[:, 0] >= 0)
+                   & (proj[:, 0] < self.cam.width)
+                   & (proj[:, 1] >= 0) & (proj[:, 1] < self.cam.height))
+            loc, prj = local[inb], proj[inb]
+            n_in_view[0] = max(n_in_view[0], len(loc))
+            if len(loc) == 0:
+                return []
+            L = len(loc)
+            capL = ((L + 127) // 128) * 128
+            proj_p = np.zeros((capL, 2), np.float32)
+            pv = np.zeros(capL, bool)
+            pdesc = np.zeros((capL, 8), np.uint32)
+            proj_p[:L] = prj
+            pv[:L] = True
+            pdesc[:L] = m.lm_desc[loc]
+            idx, _ = projection_match(
+                jnp.asarray(proj_p), jnp.asarray(pv), jnp.asarray(pdesc),
+                jnp.asarray(all_px), jnp.asarray(all_valid),
+                jnp.asarray(all_desc),
+                max_px_dist=radius,
+                max_dist_bits=int(cfg.max_desc_dist * 256))
+            idx = np.array(idx)[:L]
+            return [(int(idx[i]), int(loc[i])) for i in range(L)
+                    if idx[i] >= 0]
 
-        # PnP over all matches
-        N = cfg.max_kps
-        pts = np.zeros((N, 3), np.float32)
-        px = np.zeros((N, 2), np.float32)
-        vmask = np.zeros(N, bool)
-        k = len(pairs)
-        pts[:k] = m.lm_pos[[p[1] for p in pairs]]
-        px[:k] = m.obs_px[kfid][[p[0] for p in pairs]]
-        vmask[:k] = True
-        T_ref, inlier, _ = pnp_refine(
-            jnp.asarray(T_init.astype(np.float32)), jnp.asarray(pts),
-            jnp.asarray(px), jnp.asarray(vmask), fx, fy, cx, cy,
-            robust_th=cfg.robust_mono_th, iters=10)
-        inlier = np.array(inlier)[:k]
-        good = [pairs[i] for i in np.nonzero(inlier)[0]]
-        return np.array(T_ref, np.float64), len(good), good
+        def pnp(T, pairs):
+            N = all_px.shape[0]
+            pts = np.zeros((N, 3), np.float32)
+            px = np.zeros((N, 2), np.float32)
+            vmask = np.zeros(N, bool)
+            k = len(pairs)
+            pts[:k] = m.lm_pos[[p[1] for p in pairs]]
+            px[:k] = all_px[[p[0] for p in pairs]]
+            vmask[:k] = True
+            T_ref, inlier, _ = pnp_refine(
+                jnp.asarray(T.astype(np.float32)), jnp.asarray(pts),
+                jnp.asarray(px), jnp.asarray(vmask), fx, fy, cx, cy,
+                robust_th=cfg.robust_mono_th, iters=10)
+            inlier = np.array(inlier)[:k]
+            return (np.array(T_ref, np.float64),
+                    [pairs[i] for i in np.nonzero(inlier)[0]])
+
+        # two rounds, coarse -> fine: the P3P pose can be tens of px off
+        # at loop scale, so round 1 matches wide and refines; round 2
+        # re-projects at the refined pose and re-matches tight (the
+        # reference's trackLoopLocalMap does the same staged matching,
+        # `loop_closer.cpp:502-763`)
+        n_in_view = [0]
+        pairs = match_round(T_init, max(20.0, 4 * cfg.max_proj_pxdist))
+        if len(pairs) < pair_gate:
+            return T_init, 0, [], n_in_view[0]
+        T_ref, good = pnp(T_init, pairs)
+        pairs2 = match_round(T_ref, max(10.0, 2 * cfg.max_proj_pxdist))
+        if len(pairs2) >= max(len(good), pair_gate):
+            T_ref, good = pnp(T_ref, pairs2)
+        # only tracked-kp matches (slot < max_kps) may merge landmarks
+        mergeable = [p for p in good if p[0] < N0]
+        return T_ref, len(good), mergeable, n_in_view[0]
 
     # ------------------------------------------------------------------ #
 

@@ -150,16 +150,38 @@ class PlaceIndex:
             for i, k in enumerate(self.kf_ids[:usable]):
                 if k in exclude:
                     scores[i] = -1.0
-        best = int(np.argmax(scores))
-        best_score = float(scores[best])
-        if best_score < self.min_score:
+
+        # scored islands (`ibow_lcd::LCDetector` island grouping,
+        # `lcdetector.cc` / `island.h`): group above-threshold entries
+        # into temporally contiguous islands, score each island by the
+        # SUM of its member scores (a true revisit lights up several
+        # consecutive stored keyframes; a perceptual-aliasing one-off
+        # usually lights up one), apply a prior boost to the island
+        # consistent with the previous query, and require two consecutive
+        # consistent hits before emitting.
+        above = np.nonzero(scores >= self.min_score)[0]
+        if len(above) == 0:
             self._last_candidate = None
             return -1, 0.0
+        # contiguous runs with gaps <= island_radius
+        splits = np.nonzero(np.diff(above) > self.island_radius)[0] + 1
+        islands = np.split(above, splits)
 
-        # island grouping + temporal consistency
-        lo = max(0, best - self.island_radius)
-        hi = min(len(scores), best + self.island_radius + 1)
-        island_center = lo + int(np.argmax(scores[lo:hi]))
+        def island_stats(members):
+            ssum = float(scores[members].sum())
+            center = int(members[np.argmax(scores[members])])
+            return ssum, center
+
+        stats = [island_stats(m) for m in islands]
+        if self._last_candidate is not None:
+            # prior: prefer the island containing/near the last match
+            stats = [
+                (ssum * (1.5 if abs(center - self._last_candidate)
+                         <= 2 * self.island_radius else 1.0), center)
+                for ssum, center in stats]
+        ssum, island_center = max(stats)
+        best_score = float(scores[island_center])
+
         consistent = (
             self._last_candidate is not None
             and abs(self._last_candidate - island_center)

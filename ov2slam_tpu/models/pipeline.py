@@ -129,7 +129,8 @@ class AsyncSlamManager(SlamManager):
                 self.estimator.map_filtering(kfid)
         if self.loop_closer is not None and not under_pressure:
             with self.map_lock:
-                self.loop_closer.process_keyframe(kfid)
+                self.loop_closer.process_keyframe(
+                    kfid, img=pyr[0] if pyr is not None else None)
 
     # ------------------------------------------------------------------ #
 

@@ -238,7 +238,7 @@ class SlamManager:
                 self.estimator.local_ba(kfid)
                 self.estimator.map_filtering(kfid)
             if self.loop_closer is not None:
-                self.loop_closer.process_keyframe(kfid)
+                self.loop_closer.process_keyframe(kfid, img=fe.cur_pyr[0])
             # refresh the front-end pose estimate after BA moved the map
             f.T_wc = self.map.kf_poses[kfid].copy()
             fe.motion.prev_T = f.T_wc.astype(np.float64)
