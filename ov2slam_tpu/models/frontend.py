@@ -206,7 +206,7 @@ class FrontEnd:
                 iters=cfg.max_iter, use_clahe=cfg.use_clahe,
                 do_epipolar=cfg.do_epipolar, do_pose=do_pose,
                 ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
-                fisheye=self._fisheye)
+                fisheye=self._fisheye, use_prior=cfg.klt_use_prior)
 
         self.prev_pyr = self.cur_pyr
         self.cur_pyr = cur_pyr

@@ -53,7 +53,7 @@ def _undistort_px(px, calib: CalibArrays, fisheye: bool, iters: int = 8):
 
 @partial(jax.jit, static_argnames=(
     "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
-    "ransac_iters", "pnp_iters", "fisheye"))
+    "ransac_iters", "pnp_iters", "fisheye", "use_prior"))
 def fused_track_step(
     img,                     # (H, W) raw current frame
     prev_pyr,                # tuple of prev-frame pyramid levels
@@ -80,6 +80,7 @@ def fused_track_step(
     ransac_iters: int = 100,
     pnp_iters: int = 10,
     fisheye: bool = False,
+    use_prior: bool = True,
 ):
     """Returns (cur_pyr, tracked_px, tracked_und, status, T_new, pose_ok,
     n_pose_inliers).
@@ -103,7 +104,10 @@ def fused_track_step(
     proj_ok = (lm_is3d & (pc[:, 2] > 0.1)
                & (proj[:, 0] >= 0) & (proj[:, 0] <= W - 1)
                & (proj[:, 1] >= 0) & (proj[:, 1] <= H - 1))
-    priors = jnp.where(proj_ok[:, None], proj, px)
+    # `klt_use_prior`: seed KLT at the projected position of the 3D
+    # landmark under the predicted pose; off -> start at the previous
+    # pixel (`kltTracking` prior branch, `visual_front_end.cpp:165-196`)
+    priors = jnp.where(proj_ok[:, None], proj, px) if use_prior else px
 
     # --- forward-backward KLT ------------------------------------------ #
     fwd, st_f, _ = klt_track(prev_pyr, cur_pyr, px, priors, valid,

@@ -273,13 +273,44 @@ def _load_camera(d: dict, side: str) -> CameraConfig:
     return cam
 
 
+# keys that are parsed but whose non-default values are NOT honored by
+# this implementation (see PARITY.md "Known gaps"): loading a config that
+# sets one away from the value whose behavior we implement warns once.
+# value = (the behavior we implement, explanation)
+_UNHONORED = {
+    "do_klt": (True, "KLT tracking is the only front-end tracker"),
+    "btrack_keyframetoframe": (
+        False, "tracking is frame-to-frame (kltTrackingFromKF not built)"),
+    "bdo_random": (
+        True, "RANSAC uses counter-based PRNG keys; runs are "
+        "reproducible per-seed regardless of this flag"),
+    "use_brief": (True, "BRIEF description is always on"),
+    "use_dogleg": (False, "the trust region is LM accept/reject damping"),
+    "use_subspace_dogleg": (False, "see use_dogleg"),
+    "use_nonmonotic_step": (False, "LM steps are strictly monotone"),
+    "use_sparse_schur": (
+        True, "the Schur path is dense on-chip for local windows and "
+        "matrix-free PCG at fullBA scale; this flag does not switch it"),
+}
+_warned_keys: set = set()
+
+
 def load_config(path: str) -> SlamConfig:
     """Load a reference-format parameter YAML into a SlamConfig."""
+    import warnings
+
     d = load_opencv_yaml(path)
     cfg = SlamConfig()
     for ref_key, (field, typ) in _PARAM_MAP.items():
         if ref_key in d:
             setattr(cfg, field, typ(d[ref_key]))
+    for key, (implemented, why) in _UNHONORED.items():
+        if key in d and bool(int(d[key])) != implemented \
+                and key not in _warned_keys:
+            _warned_keys.add(key)
+            warnings.warn(
+                f"config key '{key}={d[key]}' is parsed but not honored: "
+                f"{why}", stacklevel=2)
     cfg.cam_left = _load_camera(d, "l")
     if cfg.stereo:
         cfg.cam_right = _load_camera(d, "r")

@@ -64,3 +64,39 @@ def test_all_reference_parameter_files_load():
         if cfg.stereo:
             cam_r = build_camera(cfg.cam_right, other=cfg.cam_left)
             assert cam_r.width == cfg.cam_right.width
+
+
+def test_unhonored_keys_warn_once(tmp_path):
+    """Config honesty (round-1 verdict #10): a key that is parsed but not
+    honored must warn when set away from the implemented behavior."""
+    import warnings
+
+    import ov2slam_tpu.utils.config as cfg_mod
+
+    src = open(REF_YAML).read()
+    assert "use_dogleg: 0" in src
+    mod = src.replace("use_dogleg: 0", "use_dogleg: 1")
+    p = tmp_path / "dogleg.yaml"
+    p.write_text(mod)
+
+    cfg_mod._warned_keys.discard("use_dogleg")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        load_config(str(p))
+    msgs = [str(w.message) for w in rec]
+    assert any("use_dogleg" in m for m in msgs), msgs
+    # warned once: second load stays silent
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        load_config(str(p))
+    assert not any("use_dogleg" in str(w.message) for w in rec2)
+
+
+def test_default_profile_values_do_not_warn():
+    import warnings
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        load_config(REF_YAML)
+    assert not [w for w in rec if "not honored" in str(w.message)], \
+        [str(w.message) for w in rec]
