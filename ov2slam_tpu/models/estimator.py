@@ -32,14 +32,17 @@ class Estimator:
 
     # ------------------------------------------------------------------ #
 
-    def local_ba(self, kfid: int, lock=None) -> int:
+    def local_ba(self, kfid: int, lock=None, extra_window=()) -> int:
         """Windowed BA around ``kfid`` (`Optimizer::localBA`,
         `optimizer.cpp:34-897`). Returns the number of observations used.
 
         ``lock``: optional map lock — held for problem build and
         write-back only; the solve runs outside it (the reference
         pattern: Ceres solves outside `map_mutex_`, write-back inside,
-        `optimizer.cpp:436-479,741`)."""
+        `optimizer.cpp:436-479,741`).
+        ``extra_window``: keyframe ids forced into the window regardless
+        of covisibility score — the drain path folds skipped KFs in so
+        they still get optimized (`estimator.cpp:195-214`)."""
         import contextlib
 
         lock = lock or contextlib.nullcontext()
@@ -50,12 +53,16 @@ class Estimator:
         self.prof.start("3.LocalBA")
 
         with lock:
+            forced = [int(k) for k in extra_window
+                      if k != kfid and m.kf_valid[k]]
             cov = m.covisible_kfs(kfid, min_score=cfg.min_cov_score,
                                   max_n=cfg.local_ba_max_kfs - 1)
             if len(cov) == 0:
                 cov = m.covisible_kfs(kfid, min_score=1,
                                       max_n=cfg.local_ba_max_kfs - 1)
-            window = [kfid] + [int(k) for k in cov]
+            window = [kfid] + forced + [
+                int(k) for k in cov if int(k) not in set(forced)]
+            window = window[:cfg.local_ba_max_kfs]
 
             # gauge: fix the two oldest KFs in the window (mono needs >= 2
             # for scale; `optimizer.cpp:396-407`), or the origin KF if

@@ -96,26 +96,39 @@ class AsyncSlamManager(SlamManager):
                 item = self._kf_queue.get(timeout=0.05)
             except queue.Empty:
                 continue
-            # drain to the newest KF; skipped KFs still got added to the
-            # map by the front-end, they just miss mapping/BA
-            backlogged = False
+            # drain to the newest KF. Reference semantics: the Mapper maps
+            # EVERY keyframe (stereo match + triangulation) but skips the
+            # optional stages under backpressure (`mapper.cpp:153-162`),
+            # while the Estimator optimizes only the LATEST, folding the
+            # skipped ids into its BA window (`estimator.cpp:195-214`).
+            items = [item]
             while True:
                 try:
-                    item = self._kf_queue.get_nowait()
-                    backlogged = True
+                    items.append(self._kf_queue.get_nowait())
                 except queue.Empty:
                     break
-            kfid, seq, pyr, img_right = item
+            backlogged = len(items) > 1
             try:
+                skipped = []
+                for kfid, seq, pyr, img_right in items[:-1]:
+                    if self.map.kf_valid[kfid] \
+                            and int(self.map.kf_seq[kfid]) == seq:
+                        with self.map_lock:
+                            self.mapper.process_keyframe(
+                                kfid, self.frontend.frame, pyr, img_right)
+                        skipped.append(kfid)
+                kfid, seq, pyr, img_right = items[-1]
                 self._process_kf(kfid, seq, pyr, img_right,
-                                 under_pressure=backlogged)
+                                 under_pressure=backlogged,
+                                 fold_kfs=skipped)
             except Exception:  # worker must survive; surface via counter
                 import traceback
 
                 traceback.print_exc()
                 self.n_worker_errors = getattr(self, "n_worker_errors", 0) + 1
 
-    def _process_kf(self, kfid, seq, pyr, img_right, under_pressure: bool):
+    def _process_kf(self, kfid, seq, pyr, img_right, under_pressure: bool,
+                    fold_kfs=()):
         if not self.map.kf_valid[kfid] or int(self.map.kf_seq[kfid]) != seq:
             return   # culled (and possibly recycled) while queued
         with self.map_lock:
@@ -124,7 +137,8 @@ class AsyncSlamManager(SlamManager):
             if self.cfg.do_track_localmap and not under_pressure:
                 self.mapper.match_to_local_map(kfid)
         if self.cfg.slam_mode:
-            self.estimator.local_ba(kfid, lock=self.map_lock)
+            self.estimator.local_ba(kfid, lock=self.map_lock,
+                                    extra_window=fold_kfs)
             with self.map_lock:
                 self.estimator.map_filtering(kfid)
         if self.loop_closer is not None and not under_pressure:
