@@ -68,6 +68,8 @@ def run_sequence(cfg: SlamConfig, frames, times=None,
             gt_poses = seq.gt_poses
     else:
         it = frames
+        if gt_poses is None and hasattr(frames, "gt_poses"):
+            gt_poses = frames.gt_poses  # lazily-rendered SyntheticStream
 
     n_total = 0
     n_proc = 0

@@ -45,6 +45,12 @@ class AsyncSlamManager(SlamManager):
         self.map_lock = threading.RLock()
         self._kf_queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
         self._stop = threading.Event()
+        # in-flight work count (queued + being processed): flush() must
+        # wait for the worker to be IDLE, not merely for the queue to be
+        # empty — otherwise close() can tear down the interpreter while
+        # the worker is mid-dispatch on the device (fatal on exit)
+        self._pending = 0
+        self._pending_cv = threading.Condition()
         self._worker = threading.Thread(target=self._kf_worker, daemon=True)
         self._worker.start()
 
@@ -74,14 +80,18 @@ class AsyncSlamManager(SlamManager):
             # reference's real-time load shedding); the seq snapshot
             # detects the slot being culled+recycled before processing
             item = (kfid, int(self.map.kf_seq[kfid]), fe.cur_pyr, img_right)
-            try:
-                self._kf_queue.put_nowait(item)
-            except queue.Full:
+            with self._pending_cv:
                 try:
-                    self._kf_queue.get_nowait()
-                except queue.Empty:
-                    pass
-                self._kf_queue.put_nowait(item)
+                    self._kf_queue.put_nowait(item)
+                    self._pending += 1
+                except queue.Full:
+                    try:
+                        self._kf_queue.get_nowait()
+                        self._pending -= 1
+                    except queue.Empty:
+                        pass
+                    self._kf_queue.put_nowait(item)
+                    self._pending += 1
         return kfid
 
     def process_frame(self, img_left, img_right=None, time: float = 0.0):
@@ -126,6 +136,10 @@ class AsyncSlamManager(SlamManager):
 
                 traceback.print_exc()
                 self.n_worker_errors = getattr(self, "n_worker_errors", 0) + 1
+            finally:
+                with self._pending_cv:
+                    self._pending -= len(items)
+                    self._pending_cv.notify_all()
 
     def _process_kf(self, kfid, seq, pyr, img_right, under_pressure: bool,
                     fold_kfs=()):
@@ -148,19 +162,27 @@ class AsyncSlamManager(SlamManager):
 
     # ------------------------------------------------------------------ #
 
-    def flush(self, timeout: float = 30.0):
-        """Wait until the keyframe queue is drained (end-of-sequence
-        barrier, `writeResults` waits for BA/LC, `ov2slam.cpp:579-582`)."""
+    def flush(self, timeout: float = 120.0):
+        """Wait until all queued keyframes are fully PROCESSED — not just
+        dequeued (end-of-sequence barrier, `writeResults` waits for BA/LC,
+        `ov2slam.cpp:579-582`). The generous default timeout covers cold
+        XLA compiles inside the worker's first solves."""
         import time as _t
 
-        t0 = _t.time()
-        while not self._kf_queue.empty() and _t.time() - t0 < timeout:
-            _t.sleep(0.01)
+        deadline = _t.time() + timeout
+        with self._pending_cv:
+            while self._pending > 0:
+                remain = deadline - _t.time()
+                if remain <= 0:
+                    break
+                self._pending_cv.wait(remain)
 
     def close(self):
         self.flush()
         self._stop.set()
-        self._worker.join(timeout=5.0)
+        # worker must actually exit before the interpreter can tear down:
+        # a thread mid-device-dispatch at exit aborts the process
+        self._worker.join(timeout=120.0)
 
     def write_results(self, out_dir: str = "."):
         self.flush()

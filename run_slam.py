@@ -23,9 +23,16 @@ def main():
     ap.add_argument("--kitti-seq", default="00", help="KITTI sequence id")
     ap.add_argument("--tartanair", help="TartanAir trajectory root")
     ap.add_argument("--config", help="parameter YAML (reference format)")
-    ap.add_argument("--synthetic", choices=["arc", "forward", "loop"],
+    ap.add_argument("--synthetic",
+                    choices=["arc", "forward", "loop", "revisit",
+                             "revisit_y", "lawnmower"],
                     help="generate a synthetic sequence instead")
     ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--realism", action="store_true",
+                    help="photometric realism: sensor noise, exposure "
+                         "drift, vignetting, moving occluders")
+    ap.add_argument("--async", dest="use_async", action="store_true",
+                    help="run mapping/BA on the async worker thread")
     ap.add_argument("--profile", choices=["fast", "average", "accurate"])
     ap.add_argument("--mono", action="store_true")
     ap.add_argument("--out", default=".")
@@ -51,12 +58,16 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     if args.synthetic:
-        from ov2slam_tpu.io.synthetic import generate_sequence
+        from ov2slam_tpu.io.synthetic import (DEFAULT_REALISM,
+                                              stream_sequence)
 
-        seq = generate_sequence(
+        # streaming render: frames are generated lazily, so 1-2k-frame
+        # validation runs don't hold the whole image stack in memory
+        seq = stream_sequence(
             n_frames=args.frames, stereo=not args.mono,
             kind=args.synthetic, width=752, height=480, n_points=8000,
-            speed=0.05)
+            speed=0.05,
+            realism=DEFAULT_REALISM if args.realism else None)
         cfg = seq.make_config()
         frames = seq
         gt, gt_times, T_body_cam = seq.gt_poses, None, None
@@ -90,13 +101,23 @@ def main():
         apply_profile(cfg, args.profile)
     cfg.validate()
 
+    slam = None
+    if args.use_async:
+        from ov2slam_tpu.models.pipeline import AsyncSlamManager
+
+        slam = AsyncSlamManager(cfg)
+
     if args.trace:
         with Profiler.device_trace(args.trace):
             res = run_sequence(cfg, frames, gt_poses=gt, gt_times=gt_times,
-                               T_body_cam=T_body_cam, out_dir=args.out)
+                               T_body_cam=T_body_cam, out_dir=args.out,
+                               slam=slam)
     else:
         res = run_sequence(cfg, frames, gt_poses=gt, gt_times=gt_times,
-                           T_body_cam=T_body_cam, out_dir=args.out)
+                           T_body_cam=T_body_cam, out_dir=args.out,
+                           slam=slam)
+    if slam is not None:
+        slam.close()
     report = dict(
         frames=res.n_frames, processed=res.n_processed,
         dropped=res.n_dropped, keyframes=res.n_keyframes,
