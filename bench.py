@@ -1,17 +1,35 @@
-"""Benchmark: fused front-end tracking throughput on the current backend.
+#!/usr/bin/env python
+"""Multi-stage benchmark: every hot path of the pipeline on the current
+backend, reported against honest reference denominators.
 
-Measures the real 20 Hz hot path — `ov2slam_tpu.models.frontend_step.
-fused_track_step`, the single-dispatch per-frame computation (CLAHE off,
-pyramid build, landmark-projection priors, forward-backward pyramidal KLT,
-undistortion, essential-RANSAC epipolar gating, motion-only PnP) — over a
-synthetic EuRoC-resolution stream, pipelined to amortize host↔device
-latency exactly as the streaming pipeline does.
+Stages (each self-contained, failures are recorded, not fatal):
 
-Prints ONE JSON line: frames/s vs the reference's real-time requirement
-(EuRoC camera rate = 20 fps; the reference enforces realtime by frame
-dropping, `ov2slam.cpp:292-299`, so 20 fps is its effective throughput).
+  frontend      fused per-frame tracking step (the 20 Hz hot path)
+  local_ba      25-KF anchored-invdepth two-pass windowed BA
+  full_ba_pcg   200-KF matrix-free PCG Schur BA (fullBA scale)
+  lc_query      place-recognition query against 1,024 stored keyframes
+  e2e_sync      streaming SLAM over a photometrically-realistic rendered
+                sequence, synchronous (reference single-run protocol)
+  e2e_async     same with mapping/BA on the worker thread
+
+Prints ONE JSON line. Headline = end-to-end synchronous frames/s vs the
+reference's protocol throughput (EuRoC replay at `rosbag play -r 1.0`
+with frame dropping, `benchmark_scripts/euroc_bench.sh:9` +
+`ov2slam.cpp:292-299` — i.e. the reference processes exactly 20 fps by
+construction); per-stage entries carry their own baselines:
+
+  frontend    vs 60 fps — a desktop-CPU reference front-end typically
+              runs ~3x real time (its per-frame budget ~15 ms), so 60 fps
+              is the honest kernel denominator, not the 20 fps floor
+  local_ba    vs 25 LM-iters/s — the reference budgets <=0.2 s wall for
+              <=5 Ceres iterations per keyframe (`optimizer.cpp:439-468`)
+  lc_query    vs 100 queries/s — iBoW-LCD per-image query is ~10 ms at
+              EuRoC map sizes (lcdetector island search + tree lookup)
+
+Usage: python bench.py [--stage frontend,e2e_sync] [--frames N]
 """
 
+import argparse
 import json
 import sys
 import time
@@ -19,26 +37,19 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
 
-    import jax.numpy as jnp
+# --------------------------------------------------------------------- #
+# stage: fused front-end tracking step
+# --------------------------------------------------------------------- #
 
-    sys.path.insert(0, "/root/repo")
+def bench_frontend(jax, jnp):
     from ov2slam_tpu.core.image import build_pyramid
     from ov2slam_tpu.io.synthetic import generate_sequence
     from ov2slam_tpu.models.frontend_step import CalibArrays, fused_track_step
     from ov2slam_tpu.utils import lie_np
-
-    dev = jax.devices()[0]
-    print(f"# backend: {dev.platform} ({dev})", file=sys.stderr)
 
     n_frames = 8
     seq = generate_sequence(n_frames=n_frames, stereo=False, width=752,
@@ -64,8 +75,6 @@ def main():
     valid = jnp.ones(N, bool)
     is3d = jnp.ones(N, bool)
     T_pred = jnp.asarray(T0.astype(np.float32))
-    kf_px = px
-    pair_valid = jnp.ones(N, bool)
     key = jax.random.PRNGKey(0)
 
     pyr_fn = jax.jit(lambda im: tuple(build_pyramid(im, 4)))
@@ -75,24 +84,24 @@ def main():
 
     def step(img, prev_pyr):
         return fused_track_step(
-            img, prev_pyr, px, valid, lm_pos, is3d, T_pred, kf_px,
-            pair_valid, key, calib,
+            img, prev_pyr, px, valid, lm_pos, is3d, T_pred, px,
+            valid, key, calib,
             jnp.float32(3.0), jnp.float32(0.5), jnp.float32(30.0),
             jnp.float32(3.0), jnp.float32(5.9915),
             levels=4, win=9, iters=30, use_clahe=False,
             do_epipolar=True, do_pose=True, ransac_iters=100,
             pnp_iters=10)
 
+    t_compile0 = time.perf_counter()
     out = step(imgs[1], prev_pyr)
     jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t_compile0
     # NOTE: no np.array() readback before the timed loop — on a tunneled
     # remote TPU (axon) a single device->host transfer switches the client
     # into per-dispatch round-trips (~4 ms/dispatch of pure tunnel
     # latency), which would measure the tunnel, not the hot path. The
     # sanity readback happens after timing.
 
-    # pipelined throughput over the stream: each frame's step feeds the
-    # next frame's prev_pyr (true streaming dependency chain)
     n_iters = 120
 
     def run_window():
@@ -115,15 +124,395 @@ def main():
         if f > fps:
             fps, last_out = f, o
 
-    # post-timing sanity readback: tracked keypoints must be finite
     last = np.array(last_out[1])
     assert np.isfinite(last).all(), "non-finite tracking output"
-    baseline_fps = 20.0  # EuRoC camera rate = reference real-time floor
+    return {
+        "value": round(fps, 2), "unit": "frames/s",
+        "vs_baseline": round(fps / 60.0, 2),
+        "baseline": "60 fps (~3x real-time, typical reference "
+                    "front-end on desktop CPU)",
+        "first_dispatch_s": round(compile_s, 2),
+    }
+
+
+# --------------------------------------------------------------------- #
+# stage: windowed / full BA
+# --------------------------------------------------------------------- #
+
+def _synth_ba_problem(jnp, n_kf, n_lm, seed=0, noise_px=0.4,
+                      pose_sigma=0.02, rho_sigma=0.05, covis=15):
+    """Ground-truth stereo BA problem on an arc + perturbed initial state,
+    in the anchored-inverse-depth parameterization the estimator uses.
+
+    Landmarks are strewn a few metres ahead of a home keyframe and only
+    observed by KFs within ``covis`` indices of it — the sliding
+    covisibility a real map has. (A global landmark shell would give every
+    landmark ~50 m observation baselines, where a 5% depth perturbation
+    makes 100+ px residuals and the whole problem starts Huber-saturated —
+    nothing like the locally-consistent maps fullBA actually refines.)"""
+    from ov2slam_tpu.solvers.ba import BAParams
+    from ov2slam_tpu.utils import lie_np
+
+    rng = np.random.default_rng(seed)
+    FX = FY = 458.0
+    CX, CY = 376.0, 240.0
+    base = 0.11
+
+    gt = []
+    for i in range(n_kf):
+        t = np.array([0.25 * i, 0.05 * np.sin(0.3 * i), 0.02 * i])
+        q = lie_np.so3_exp(np.array([0.0, 0.02 * i, 0.005 * i]))
+        gt.append(np.concatenate([q, t]))
+    gt = np.stack(gt).astype(np.float64)
+
+    # landmarks 2-10 m in front of a home KF, lateral/vertical spread
+    home = rng.integers(0, n_kf, n_lm)
+    cam_pts = np.stack([rng.uniform(-4.0, 4.0, n_lm),
+                        rng.uniform(-2.5, 2.5, n_lm),
+                        rng.uniform(2.0, 10.0, n_lm)], -1)
+    lms = lie_np.pose_apply(gt[home], cam_pts)
+    T_rl = np.concatenate([[1, 0, 0, 0], [-base, 0, 0]]).astype(np.float64)
+
+    # observations: each landmark seen by in-bounds KFs near its home
+    # (vectorized per KF: at fullBA scale the obs table has ~1e5 rows)
+    rows_kf, rows_lm, rows_px, rows_cam = [], [], [], []
+    anchor = np.full(n_lm, -1, np.int64)
+    anchor_px = np.zeros((n_lm, 2))
+    for k in range(n_kf):
+        T_cw = lie_np.pose_inverse(gt[k])
+        pc = lie_np.pose_apply(T_cw, lms)
+        u = FX * pc[:, 0] / np.maximum(pc[:, 2], 1e-6) + CX
+        v = FY * pc[:, 1] / np.maximum(pc[:, 2], 1e-6) + CY
+        vis = ((pc[:, 2] > 0.5) & (u > 10) & (u < 742) & (v > 10)
+               & (v < 470) & (np.abs(home - k) <= covis))
+        ids = np.nonzero(vis)[0]
+        px_l = (np.stack([u[ids], v[ids]], -1)
+                + rng.normal(0, noise_px, (len(ids), 2)))
+        pr = lie_np.pose_apply(T_rl, pc[ids])
+        px_r = np.stack([FX * pr[:, 0] / pr[:, 2] + CX,
+                         FY * pr[:, 1] / pr[:, 2] + CY], -1)
+        fresh = anchor[ids] < 0
+        anchor[ids[fresh]] = k
+        anchor_px[ids[fresh]] = px_l[fresh]
+        # interleave left/right rows for this KF
+        rows_kf.append(np.repeat(k, 2 * len(ids)))
+        rows_lm.append(np.repeat(ids, 2))
+        rows_px.append(np.stack([px_l, px_r], 1).reshape(-1, 2))
+        rows_cam.append(np.tile([0, 1], len(ids)))
+
+    ok = np.concatenate(rows_kf); ol = np.concatenate(rows_lm)
+    opx = np.concatenate(rows_px); oc = np.concatenate(rows_cam)
+    seen = anchor >= 0
+    anchor = np.maximum(anchor, 0)
+    ray = np.stack([(anchor_px[:, 0] - CX) / FX,
+                    (anchor_px[:, 1] - CY) / FY], -1)
+    z = np.maximum(lie_np.pose_apply(
+        lie_np.pose_inverse(gt[anchor]), lms)[:, 2], 1e-3)
+    rho = 1.0 / z
+
+    # perturb initial state (first two poses gauge-fixed); RIGHT-composed
+    # so the error is in each camera's local frame and does not amplify
+    # with distance from the origin (a left rotation of 0.02 rad at the
+    # 50 m end of a 200-KF arc would displace the camera by a metre)
+    poses = gt.copy()
+    for k in range(2, n_kf):
+        xi = rng.normal(0, pose_sigma, 6)
+        poses[k] = lie_np.pose_compose(
+            poses[k], np.concatenate([lie_np.so3_exp(xi[3:]), xi[:3]]))
+    rho_p = rho * (1 + rng.normal(0, rho_sigma, n_lm))
+    fixed = np.zeros(n_kf, bool)
+    fixed[:2] = True
+
+    params = BAParams(fx=jnp.float32(FX), fy=jnp.float32(FY),
+                      cx=jnp.float32(CX), cy=jnp.float32(CY),
+                      T_rl=jnp.asarray(T_rl, jnp.float32))
+    f32 = np.float32
+    return dict(
+        poses=jnp.asarray(poses, jnp.float32),
+        fixed=jnp.asarray(fixed),
+        rho=jnp.asarray(np.where(seen, rho_p, 1.0), jnp.float32),
+        anchor=jnp.asarray(anchor, jnp.int32),
+        ray=jnp.asarray(ray.astype(f32)),
+        obs_kf=jnp.asarray(np.array(ok, np.int32)),
+        obs_lm=jnp.asarray(np.array(ol, np.int32)),
+        obs_px=jnp.asarray(np.array(opx, f32)),
+        obs_cam=jnp.asarray(np.array(oc, np.int8)),
+        obs_valid=jnp.asarray(np.ones(len(ok), bool)),
+        params=params, gt=gt, n_obs=len(ok))
+
+
+def _bench_ba(jax, jnp, n_kf, n_lm, iters_robust, iters_l2, reps,
+              baseline_iters_s, label, max_terr=0.05):
+    from ov2slam_tpu.solvers.ba_invdepth import ba_solve_invdepth_two_pass
+    from ov2slam_tpu.utils import lie_np
+
+    prob = _synth_ba_problem(jnp, n_kf=n_kf, n_lm=n_lm)
+    log(f"{label}: {n_kf} KFs, {n_lm} lms, {prob['n_obs']} obs")
+
+    def solve():
+        return ba_solve_invdepth_two_pass(
+            prob["poses"], prob["fixed"], prob["rho"], prob["anchor"],
+            prob["ray"], prob["obs_kf"], prob["obs_lm"], prob["obs_px"],
+            prob["obs_cam"], prob["obs_valid"], prob["params"],
+            robust_th=5.9915, iters_robust=iters_robust, iters_l2=iters_l2)
+
+    t0 = time.perf_counter()
+    out = solve()
+    float(np.array(out[4]))      # scalar readback: forces true completion
+    compile_s = time.perf_counter() - t0
+
+    # timing forces completion through a scalar readback each window —
+    # plain block_until_ready has been observed to return before the
+    # remote (tunneled) device actually finished, flattering the number
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = [solve() for _ in range(2)]
+        float(np.array(outs[-1][4]))
+        best = min(best, (time.perf_counter() - t0) / 2)
+
+    # correctness: solved poses must approach ground truth
+    est = np.array(outs[-1][0], np.float64)
+    _, tr = lie_np.pose_distance(est, prob["gt"])
+    assert tr.max() < max_terr, \
+        f"BA did not converge: max terr {tr.max():.3f}"
+
+    n_iters = iters_robust + iters_l2
+    iters_s = n_iters / best
+    return {
+        "value": round(iters_s, 1), "unit": "LM iters/s",
+        "vs_baseline": round(iters_s / baseline_iters_s, 2),
+        "baseline": baseline_note(baseline_iters_s),
+        "solve_ms": round(best * 1e3, 1),
+        "problem": f"{n_kf} KFs / {n_lm} lms / {prob['n_obs']} obs",
+        "first_dispatch_s": round(compile_s, 2),
+    }
+
+
+def bench_local_ba(jax, jnp):
+    return _bench_ba(jax, jnp, n_kf=25, n_lm=1200, iters_robust=5,
+                     iters_l2=3, reps=3, baseline_iters_s=25.0,
+                     label="local_ba")
+
+
+def baseline_note(iters_s):
+    if iters_s >= 25.0:
+        return (f"{iters_s} iters/s (reference local-BA budget: <=5 "
+                "iters in <=0.2 s, optimizer.cpp:439-468)")
+    return (f"{iters_s} iters/s (Ceres SPARSE_SCHUR single-thread "
+            "throughput on a ~350k-residual fullBA, ~2 s/iteration "
+            "on desktop CPU)")
+
+
+def bench_full_ba_pcg(jax, jnp):
+    # Kw=200 > DENSE_SCHUR_MAX_KFS routes through the matrix-free PCG
+    # Schur path (the TPU analogue of Ceres ITERATIVE_SCHUR fullBA).
+    # Convergence gate scales with the chain: the far end of a gauge-fixed
+    # 200-KF chain has legitimately cm-scale ML uncertainty
+    return _bench_ba(jax, jnp, n_kf=200, n_lm=8000, iters_robust=4,
+                     iters_l2=2, reps=2, baseline_iters_s=0.5,
+                     label="full_ba_pcg", max_terr=0.10)
+
+
+# --------------------------------------------------------------------- #
+# stage: loop-closure query at 1k stored keyframes
+# --------------------------------------------------------------------- #
+
+def bench_lc_query(jax, jnp):
+    from ov2slam_tpu.loopclosure.index import PlaceIndex
+
+    rng = np.random.default_rng(3)
+    n_store, n_kp = 1024, 300
+    idx = PlaceIndex(capacity=n_store, recent_mask=30)
+    descs = rng.integers(0, 2 ** 32, size=(n_store, n_kp, 8),
+                         dtype=np.uint32)
+    for i in range(n_store):
+        idx.add(i, descs[i], np.ones(n_kp, bool))
+
+    # query = a stored KF's descriptors with 15% of bits flipped
+    q = descs[100].copy()
+    flip = rng.integers(0, 2 ** 32, q.shape, dtype=np.uint32)
+    q = np.where(rng.random(q.shape) < 0.15, q ^ flip, q)
+    qv = np.ones(n_kp, bool)
+
+    idx.query_best(q, qv)   # warm-up (compile + tunnel)
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        hits = idx.query_best(q, qv, top_k=3)
+    qps = reps / (time.perf_counter() - t0)
+    assert hits and hits[0][0] == 100, f"wrong best match: {hits}"
+    return {
+        "value": round(qps, 1), "unit": "queries/s",
+        "vs_baseline": round(qps / 100.0, 2),
+        "baseline": "100 q/s (~10 ms/query, iBoW-LCD at EuRoC map size)",
+        "store": f"{n_store} KFs x {n_kp} kps",
+    }
+
+
+# --------------------------------------------------------------------- #
+# stage: end-to-end streaming SLAM on a realistic rendered sequence
+# --------------------------------------------------------------------- #
+
+def _bench_e2e(jax, jnp, n_frames, use_async):
+    from ov2slam_tpu.io.runner import run_sequence
+    from ov2slam_tpu.io.synthetic import DEFAULT_REALISM, stream_sequence
+    from ov2slam_tpu.utils.profiles import apply_profile
+
+    seq = stream_sequence(
+        n_frames=n_frames, stereo=True, width=752, height=480,
+        n_points=8000, seed=0, kind="arc", speed=0.05,
+        realism=DEFAULT_REALISM)
+    cfg = seq.make_config()
+    apply_profile(cfg, "fast")
+    cfg.validate()
+
+    slam = None
+    if use_async:
+        from ov2slam_tpu.models.pipeline import AsyncSlamManager
+
+        slam = AsyncSlamManager(cfg)
+
+    # steady-state fps: time everything, but also track per-frame walls so
+    # compile-dominated leading frames can be reported separately
+    import ov2slam_tpu.models.slam as slam_mod
+
+    mgr = slam or slam_mod.SlamManager(cfg)
+    walls = []
+    frames = list(seq) if n_frames <= 200 else None
+    it = frames if frames is not None else iter(seq)
+    t_all0 = time.perf_counter()
+    for left, right, t in it:
+        t0 = time.perf_counter()
+        mgr.process_frame(left, right, t)
+        walls.append(time.perf_counter() - t0)
+    wall_total = time.perf_counter() - t_all0
+    if use_async:
+        mgr.flush()
+
+    est_times, est_poses = mgr.estimated_trajectory()
+    from ov2slam_tpu.utils.evaluation import ate_rmse
+
+    n = min(len(est_poses), len(seq.gt_poses))
+    ate = float(ate_rmse(est_poses[:n], np.asarray(seq.gt_poses)[:n],
+                         align_scale=False))
+    if use_async:
+        mgr.close()
+
+    walls = np.array(walls)
+    warm = walls[max(10, len(walls) // 5):]   # skip compile-heavy head
+    fps_steady = 1.0 / max(float(np.median(warm)), 1e-9)
+    return {
+        "value": round(fps_steady, 2), "unit": "frames/s (steady-state)",
+        "vs_baseline": round(fps_steady / 20.0, 2),
+        "baseline": "20 fps (reference protocol: EuRoC replay at -r 1.0 "
+                    "with frame dropping == exactly camera rate)",
+        "ate_m": round(ate, 4),
+        "wall_s_total": round(wall_total, 1),
+        "fps_incl_compile": round(len(walls) / wall_total, 2),
+        "n_frames": int(len(walls)),
+        "n_keyframes": int(mgr.map.n_keyframes),
+        "sequence": "752x480 stereo arc + realism (noise/exposure/"
+                    "vignette/occluders)",
+    }
+
+
+def bench_e2e_sync(jax, jnp, n_frames):
+    return _bench_e2e(jax, jnp, n_frames, use_async=False)
+
+
+def bench_e2e_async(jax, jnp, n_frames):
+    return _bench_e2e(jax, jnp, n_frames, use_async=True)
+
+
+# --------------------------------------------------------------------- #
+# stage: distributed-BA scaling sweep (subprocess: needs its own XLA
+# device-count flags before jax init)
+# --------------------------------------------------------------------- #
+
+def bench_dist_scaling():
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scaling_bench.py"],
+        capture_output=True, text=True, timeout=900)
+    if out.returncode != 0:
+        raise RuntimeError(f"scaling_bench failed: {out.stderr[-400:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+# --------------------------------------------------------------------- #
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all",
+                    help="comma list: frontend,local_ba,full_ba_pcg,"
+                         "lc_query,e2e_sync,e2e_async")
+    ap.add_argument("--frames", type=int, default=120,
+                    help="frames for the e2e stages")
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    if os.environ.get("BENCH_CPU"):  # sitecustomize force-registers the
+        jax.config.update("jax_platforms", "cpu")  # axon TPU; opt out here
+    try:  # persistent compile cache (remote-TPU compiles are expensive)
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "/root/repo")
+    dev = jax.devices()[0]
+    log(f"backend: {dev.platform} ({dev})")
+
+    wanted = args.stage.split(",") if args.stage != "all" else [
+        "frontend", "local_ba", "full_ba_pcg", "lc_query",
+        "e2e_sync", "e2e_async", "dist_scaling"]
+    runners = {
+        "frontend": lambda: bench_frontend(jax, jnp),
+        "local_ba": lambda: bench_local_ba(jax, jnp),
+        "full_ba_pcg": lambda: bench_full_ba_pcg(jax, jnp),
+        "lc_query": lambda: bench_lc_query(jax, jnp),
+        "e2e_sync": lambda: bench_e2e_sync(jax, jnp, args.frames),
+        "e2e_async": lambda: bench_e2e_async(jax, jnp, args.frames),
+        "dist_scaling": bench_dist_scaling,
+    }
+
+    stages = {}
+    for name in wanted:
+        log(f"stage {name} ...")
+        t0 = time.perf_counter()
+        try:
+            stages[name] = runners[name]()
+            log(f"stage {name}: {stages[name]['value']} "
+                f"{stages[name]['unit']} "
+                f"({time.perf_counter() - t0:.0f}s)")
+        except Exception as e:  # record, keep benching
+            import traceback
+
+            traceback.print_exc()
+            stages[name] = {"error": f"{type(e).__name__}: {e}"}
+
+    # headline: e2e sync fps if measured, else front-end fps
+    if "e2e_sync" in stages and "value" in stages["e2e_sync"]:
+        head_name, head = "e2e_sync_fps", stages["e2e_sync"]
+    elif "frontend" in stages and "value" in stages["frontend"]:
+        head_name, head = "frontend_tracking_fps", stages["frontend"]
+    else:
+        head_name, head = "failed", {"value": 0.0, "unit": "",
+                                     "vs_baseline": 0.0}
     result = {
-        "metric": "frontend_tracking_fps",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 2),
+        "metric": head_name,
+        "value": head["value"],
+        "unit": head.get("unit", ""),
+        "vs_baseline": head.get("vs_baseline", 0.0),
+        "stages": stages,
     }
     print(json.dumps(result))
 

@@ -345,8 +345,12 @@ class _SceneRenderer:
                  realism: Optional[RealismParams]):
         rng = np.random.default_rng(seed)
         self.width, self.height = width, height
-        self.K = np.array([[458.0, 0.0, width / 2],
-                           [0.0, 458.0, height / 2],
+        # EuRoC-like FOV at ANY resolution: focal scales with width
+        # (fx=458 @ 752 px). A fixed focal at reduced resolution would
+        # halve the field of view and cripple the geometry conditioning.
+        f = 458.0 * width / 752.0
+        self.K = np.array([[f, 0.0, width / 2],
+                           [0.0, f, height / 2],
                            [0.0, 0.0, 1.0]])
         self.gt = make_trajectory(n_frames, kind=kind, speed=speed)
         self.times = np.arange(n_frames) / fps

@@ -101,7 +101,8 @@ class LoopCloser:
         cand, score = self.index.query(
             desc, valid, exclude=cov,
             seq_lookup=lambda ids: m.kf_seq[ids])
-        self.index.add(kfid, desc, valid, seq=int(m.kf_seq[kfid]))
+        self.index.add(kfid, desc, valid, seq=int(m.kf_seq[kfid]),
+                       seq_lookup=lambda ids: m.kf_seq[np.asarray(ids)])
         self.prof.stop("4.LC_QueryIndex")
         if cand < 0 or not m.kf_valid[cand]:
             return False

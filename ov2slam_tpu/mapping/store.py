@@ -112,6 +112,7 @@ class MapStore:
         self._kf_seq_counter = 0
         # freed slots available for reuse (LIFO)
         self._free_kf: List[int] = []
+        self.n_evictions = 0
         self._free_lm: List[int] = []
 
     # ----------------------------------------------------------------- #
@@ -242,8 +243,19 @@ class MapStore:
             kfid = self._next_kf
             self._next_kf += 1
         else:
-            raise RuntimeError(
-                f"keyframe capacity exceeded (0 free of {self.K})")
+            # graceful degradation at capacity: evict the OLDEST keyframe
+            # (a bounded sliding map, like a ring buffer) instead of
+            # aborting a long run. Culling normally frees slots first
+            # (`Estimator::mapFiltering`); eviction is the backstop when a
+            # trajectory produces more non-redundant views than capacity.
+            # Loop-closure entries detect the recycled slot via kf_seq.
+            oldest = self.kfs_by_seq()
+            if len(oldest) == 0:
+                raise RuntimeError(
+                    f"keyframe capacity exceeded (0 free of {self.K})")
+            self.remove_keyframe(int(oldest[0]))
+            self.n_evictions += 1
+            kfid = self._free_kf.pop()
         self.kf_seq[kfid] = self._kf_seq_counter
         self._kf_seq_counter += 1
 

@@ -118,32 +118,50 @@ _CG_ITERS = 100
 
 
 def _schur_pcg(Hpp_d, bp, Hll_inv, bl, Wo, obs_kf, obs_lm, free_pose,
-               n_iters: int = _CG_ITERS):
+               n_iters: int = _CG_ITERS, Z=None):
     """Matrix-free block-Jacobi-preconditioned CG on the Schur complement.
 
-    S x = (Hpp_d − Σ_l Z_l Hll⁻¹ Z_lᵀ) x with Z never materialized: each
-    product gathers x at the observing pose, eliminates through the
-    landmark 3x3, and scatters back — O(obs) memory and flops. This is
-    the TPU analogue of Ceres' ITERATIVE_SCHUR, used for the reference's
-    offline fullBA scale (`optimizer.cpp:1674-2332`).
+    S x = (Hpp_d − Σ_l Z_l Hll⁻¹ Z_lᵀ) x. This is the TPU analogue of
+    Ceres' ITERATIVE_SCHUR, used for the reference's offline fullBA scale
+    (`optimizer.cpp:1674-2332`).
+
+    When ``Z`` — the dense (Lw, Kw, 6, 3) landmark-pose cross tensor — is
+    given (memory-guarded by the caller), every CG matvec is pure dense
+    einsum work: per-observation scatter-adds serialize on the TPU VPU
+    (~25 ms per (O→Kw) scatter at O=350k), so a 400-iteration CG must not
+    touch obs-indexed arrays. Without ``Z`` the O(obs) gather/scatter
+    formulation is used (beyond-HBM problem sizes).
     """
     Kw = Hpp_d.shape[0]
     free = free_pose[:, None].astype(bool)
 
-    def matvec(x):                             # x (Kw, 6)
-        x = jnp.where(free, x, 0.0)
-        y = jnp.zeros_like(bl).at[obs_lm].add(
-            jnp.einsum("oab,oa->ob", Wo, x[obs_kf]))      # (Lw, 3)
-        t = jnp.einsum("lab,lb->la", Hll_inv, y)
-        corr = jnp.zeros_like(bp).at[obs_kf].add(
-            jnp.einsum("oab,ob->oa", Wo, t[obs_lm]))
-        out = jnp.einsum("kab,kb->ka", Hpp_d, x) - corr
-        return jnp.where(free, out, x)
+    if Z is not None:
+        ZH = jnp.einsum("lkab,lbc->lkac", Z, Hll_inv)     # (Lw, Kw, 6, 3)
 
-    b = bp - jnp.zeros_like(bp).at[obs_kf].add(
-        jnp.einsum("oab,ob->oa", Wo,
-                   jnp.einsum("lab,lb->la", Hll_inv, bl)[obs_lm]))
-    b = jnp.where(free, b, 0.0)
+        def matvec(x):                         # x (Kw, 6)
+            x = jnp.where(free, x, 0.0)
+            y = jnp.einsum("lkab,ka->lb", Z, x)           # (Lw, 3)
+            corr = jnp.einsum("lkab,lb->ka", ZH, y)
+            out = jnp.einsum("kab,kb->ka", Hpp_d, x) - corr
+            return jnp.where(free, out, x)
+
+        b = bp - jnp.einsum("lkab,lb->ka", ZH, bl)
+        b = jnp.where(free, b, 0.0)
+    else:
+        def matvec(x):                         # x (Kw, 6)
+            x = jnp.where(free, x, 0.0)
+            y = jnp.zeros_like(bl).at[obs_lm].add(
+                jnp.einsum("oab,oa->ob", Wo, x[obs_kf]))  # (Lw, 3)
+            t = jnp.einsum("lab,lb->la", Hll_inv, y)
+            corr = jnp.zeros_like(bp).at[obs_kf].add(
+                jnp.einsum("oab,ob->oa", Wo, t[obs_lm]))
+            out = jnp.einsum("kab,kb->ka", Hpp_d, x) - corr
+            return jnp.where(free, out, x)
+
+        b = bp - jnp.zeros_like(bp).at[obs_kf].add(
+            jnp.einsum("oab,ob->oa", Wo,
+                       jnp.einsum("lab,lb->la", Hll_inv, bl)[obs_lm]))
+        b = jnp.where(free, b, 0.0)
 
     # block-Jacobi preconditioner from the (damped) pose Hessian diagonal
     eyeK = jnp.eye(6, dtype=bp.dtype)
@@ -219,12 +237,26 @@ def _solve_normal_iteration(T_cw, points, lam, obs_kf, obs_lm, obs_px,
     Wo = jnp.einsum("oik,oil->okl", wJp, Jl)  # (O, 6, 3)
 
     if Kw > DENSE_SCHUR_MAX_KFS:
-        # matrix-free PCG — no (Lw, Kw) cross tensor at fullBA scale
+        # matrix-free PCG at fullBA scale. Inner iterations scale with the
+        # pose count: with block-Jacobi preconditioning on a chain-like
+        # covisibility graph, information propagates O(1) poses per CG
+        # iteration, so ~100 iters stall on 200+ KF windows. When the
+        # (Lw, Kw, 6, 3) cross tensor fits comfortably in HBM, build it
+        # once (low-collision scatter: ~2 obs per slot) so the CG loop is
+        # scatter-free; beyond that, the O(obs) scatter matvec.
+        Z_cg = None
+        if Lw * Kw * 18 * 4 <= 2 * 1024 ** 3:
+            Z_cg = jnp.zeros((Lw, Kw, 6, 3), r.dtype).at[
+                obs_lm, obs_kf].add(Wo)
         dx_pose = _schur_pcg(Hpp_d, bp, Hll_inv, bl, Wo, obs_kf, obs_lm,
-                             free_pose)
+                             free_pose, n_iters=min(max(100, 2 * Kw), 600),
+                             Z=Z_cg)
         # back-substitute landmarks: dX = Hll_inv (bl - Z^T dx)
-        corr = jnp.zeros_like(bl).at[obs_lm].add(
-            jnp.einsum("oab,oa->ob", Wo, dx_pose[obs_kf]))
+        if Z_cg is not None:
+            corr = jnp.einsum("lkab,ka->lb", Z_cg, dx_pose)
+        else:
+            corr = jnp.zeros_like(bl).at[obs_lm].add(
+                jnp.einsum("oab,oa->ob", Wo, dx_pose[obs_kf]))
         dx_lm = jnp.einsum("lab,lb->la", Hll_inv, bl - corr)
         new_T_cw = lie.pose_left_update(T_cw, dx_pose * free_pose[:, None])
         return new_T_cw, points + dx_lm

@@ -164,62 +164,125 @@ def _solve_iteration_inv_cg(T_cw, lm_rho, lam, anch_kf, obs_kf, obs_lm,
     """Matrix-free PCG step for huge windows (poses + scalar inv-depths).
 
     Each observation couples TWO poses (observer + anchor) and one scalar
-    landmark; all Hessian products are per-observation gathers/scatters.
+    landmark. TPU formulation: per-observation scatter-adds serialize on
+    the VPU (measured ~25 ms per (O→Kw) scatter at O=350k — a 400-iter CG
+    would spend minutes in scatters), so pose gather/scatter is expressed
+    as GEMMs against one-hot selection matrices Eo/Ea (O, Kw) — exact,
+    bf16-storable, MXU-resident — and the landmark Schur correction goes
+    through a small DENSE cross tensor Z (Lw, Kw, 6) built once per LM
+    iteration (38 MB at 200 KFs / 8k lms; memory-guarded). Above the
+    memory guard the original scatter matvec is kept as fallback.
     """
     Kw = T_cw.shape[0]
+    Lw = lm_rho.shape[0]
+    O = r.shape[0]
     free = free_pose[:, None].astype(bool)
+    f = r.dtype
+
+    # one-hot GEMM regime: two bf16 (O, Kw) one-hots + f32 Z (Lw, Kw, 6)
+    use_gemm = (O * Kw * 2 * 2 + Lw * Kw * 6 * 4) <= 2 * 1024 ** 3
 
     # per-observation cross vectors g = Jposeᵀ w J_rho (6,)
     g_obs = jnp.einsum("oik,oi->ok", wJ_obs, J_rho)       # (O, 6)
     g_anch = jnp.einsum("oik,oi->ok", wJ_anch, J_rho)
 
-    bp = jnp.zeros((Kw, 6), r.dtype)
-    bp = bp.at[obs_kf].add(-jnp.einsum("oik,oi->ok", wJ_obs, r))
-    bp = bp.at[anch_kf].add(-jnp.einsum("oik,oi->ok", wJ_anch, r))
+    same = (obs_kf == anch_kf)[:, None]
+
+    if use_gemm:
+        bf16 = jnp.bfloat16
+        Eo = jax.nn.one_hot(obs_kf, Kw, dtype=bf16)       # (O, Kw)
+        Ea = jax.nn.one_hot(anch_kf, Kw, dtype=bf16)
+
+        def sc(E, v):      # scatter (O, d…) -> (Kw, d…) as a GEMM
+            return jnp.einsum("ok,o...->k...", E, v,
+                              preferred_element_type=f)
+
+        def ga(E, x):      # gather (Kw, 6) -> (O, 6) as a GEMM
+            return jnp.einsum("ok,kd->od", E, x,
+                              preferred_element_type=f)
+
+        bp = -(sc(Eo, jnp.einsum("oik,oi->ok", wJ_obs, r))
+               + sc(Ea, jnp.einsum("oik,oi->ok", wJ_anch, r)))
+        diag = (sc(Eo, jnp.einsum("oik,oik->ok", wJ_obs, J_obs))
+                + sc(Ea, jnp.einsum("oik,oik->ok", wJ_anch, J_anch))
+                + sc(Eo, 2.0 * same
+                     * jnp.einsum("oik,oik->ok", wJ_obs, J_anch)))
+        # dense landmark-pose cross tensor (low-collision scatter: ~2
+        # observations per (landmark, pose) slot)
+        Z = jnp.zeros((Lw, Kw, 6), f)
+        Z = Z.at[obs_lm, obs_kf].add(g_obs)
+        Z = Z.at[obs_lm, anch_kf].add(g_anch)
+    else:
+        bp = jnp.zeros((Kw, 6), f)
+        bp = bp.at[obs_kf].add(-jnp.einsum("oik,oi->ok", wJ_obs, r))
+        bp = bp.at[anch_kf].add(-jnp.einsum("oik,oi->ok", wJ_anch, r))
+        diag = jnp.zeros((Kw, 6), f)
+        diag = diag.at[obs_kf].add(
+            jnp.einsum("oik,oik->ok", wJ_obs, J_obs))
+        diag = diag.at[anch_kf].add(
+            jnp.einsum("oik,oik->ok", wJ_anch, J_anch))
+        diag = diag.at[obs_kf].add(
+            2.0 * same * jnp.einsum("oik,oik->ok", wJ_obs, J_anch))
 
     Hrr_d = Hrr + lam * jnp.maximum(Hrr, 1e-6) + 1e-8
-
-    # damped diagonal of the pose Hessian (for LM damping + matvec)
-    same = (obs_kf == anch_kf)[:, None]
-    diag = jnp.zeros((Kw, 6), r.dtype)
-    diag = diag.at[obs_kf].add(jnp.einsum("oik,oik->ok", wJ_obs, J_obs))
-    diag = diag.at[anch_kf].add(jnp.einsum("oik,oik->ok", wJ_anch, J_anch))
-    diag = diag.at[obs_kf].add(
-        2.0 * same * jnp.einsum("oik,oik->ok", wJ_obs, J_anch))
     damp = lam * jnp.maximum(diag, 1e-6)
 
-    def matvec(x):                                        # S·x, x (Kw, 6)
-        x = jnp.where(free, x, 0.0)
-        # Hpp x (matrix-free): a_o = P_o x, out = Σ Pwᵀ a
-        a = (jnp.einsum("oik,ok->oi", J_obs, x[obs_kf])
-             + jnp.einsum("oik,ok->oi", J_anch, x[anch_kf]))   # (O, 2)
-        out = jnp.zeros((Kw, 6), r.dtype)
-        out = out.at[obs_kf].add(jnp.einsum("oik,oi->ok", wJ_obs, a))
-        out = out.at[anch_kf].add(jnp.einsum("oik,oi->ok", wJ_anch, a))
-        out = out + damp * x
-        # Schur correction: − Z Hrr⁻¹ Zᵀ x
-        y = jnp.zeros_like(Hrr).at[obs_lm].add(
-            jnp.einsum("ok,ok->o", g_obs, x[obs_kf])
-            + jnp.einsum("ok,ok->o", g_anch, x[anch_kf]))
-        t = y / Hrr_d
-        out = out.at[obs_kf].add(-g_obs * t[obs_lm][:, None])
-        out = out.at[anch_kf].add(-g_anch * t[obs_lm][:, None])
-        return jnp.where(free, out, x)
+    if use_gemm:
+        Zn = Z / Hrr_d[:, None, None]                     # (Lw, Kw, 6)
 
-    tb = brho / Hrr_d
-    b = bp
-    b = b.at[obs_kf].add(-g_obs * tb[obs_lm][:, None])
-    b = b.at[anch_kf].add(-g_anch * tb[obs_lm][:, None])
-    b = jnp.where(free, b, 0.0)
+        def matvec(x):                                    # S·x, x (Kw, 6)
+            x = jnp.where(free, x, 0.0)
+            a = (jnp.einsum("oik,ok->oi", J_obs, ga(Eo, x))
+                 + jnp.einsum("oik,ok->oi", J_anch, ga(Ea, x)))  # (O, 2)
+            out = (sc(Eo, jnp.einsum("oik,oi->ok", wJ_obs, a))
+                   + sc(Ea, jnp.einsum("oik,oi->ok", wJ_anch, a)))
+            out = out + damp * x
+            # Schur correction − Z Hrr⁻¹ Zᵀ x via the dense cross tensor
+            t = jnp.einsum("lka,ka->l", Z, x) / Hrr_d
+            out = out - jnp.einsum("lka,l->ka", Z, t)
+            return jnp.where(free, out, x)
+
+        b = bp - jnp.einsum("lka,l->ka", Zn, brho)
+        b = jnp.where(free, b, 0.0)
+    else:
+        def matvec(x):                                    # S·x, x (Kw, 6)
+            x = jnp.where(free, x, 0.0)
+            # Hpp x (matrix-free): a_o = P_o x, out = Σ Pwᵀ a
+            a = (jnp.einsum("oik,ok->oi", J_obs, x[obs_kf])
+                 + jnp.einsum("oik,ok->oi", J_anch, x[anch_kf]))  # (O, 2)
+            out = jnp.zeros((Kw, 6), f)
+            out = out.at[obs_kf].add(jnp.einsum("oik,oi->ok", wJ_obs, a))
+            out = out.at[anch_kf].add(jnp.einsum("oik,oi->ok", wJ_anch, a))
+            out = out + damp * x
+            # Schur correction: − Z Hrr⁻¹ Zᵀ x
+            y = jnp.zeros_like(Hrr).at[obs_lm].add(
+                jnp.einsum("ok,ok->o", g_obs, x[obs_kf])
+                + jnp.einsum("ok,ok->o", g_anch, x[anch_kf]))
+            t = y / Hrr_d
+            out = out.at[obs_kf].add(-g_obs * t[obs_lm][:, None])
+            out = out.at[anch_kf].add(-g_anch * t[obs_lm][:, None])
+            return jnp.where(free, out, x)
+
+        tb = brho / Hrr_d
+        b = bp
+        b = b.at[obs_kf].add(-g_obs * tb[obs_lm][:, None])
+        b = b.at[anch_kf].add(-g_anch * tb[obs_lm][:, None])
+        b = jnp.where(free, b, 0.0)
 
     # block-Jacobi preconditioner from the damped pose-Hessian diagonal
     # blocks (cross obs/anchor terms included where the two coincide)
-    eyeK = jnp.eye(6, dtype=r.dtype)
-    Dp = jnp.zeros((Kw, 6, 6), r.dtype)
-    Dp = Dp.at[obs_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
-    Dp = Dp.at[anch_kf].add(jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
+    eyeK = jnp.eye(6, dtype=f)
     cross = jnp.einsum("oik,oil->okl", wJ_obs, J_anch) * same[..., None]
-    Dp = Dp.at[obs_kf].add(cross + cross.transpose(0, 2, 1))
+    if use_gemm:
+        Dp = (sc(Eo, jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
+              + sc(Ea, jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
+              + sc(Eo, cross + cross.transpose(0, 2, 1)))
+    else:
+        Dp = jnp.zeros((Kw, 6, 6), f)
+        Dp = Dp.at[obs_kf].add(jnp.einsum("oik,oil->okl", wJ_obs, J_obs))
+        Dp = Dp.at[anch_kf].add(
+            jnp.einsum("oik,oil->okl", wJ_anch, J_anch))
+        Dp = Dp.at[obs_kf].add(cross + cross.transpose(0, 2, 1))
     Dp = Dp + damp[..., None] * eyeK[None] + 1e-6 * eyeK[None]
     M_inv = jnp.linalg.inv(Dp)
     M_inv = jnp.where(free[..., None], M_inv, eyeK[None])
@@ -249,9 +312,12 @@ def _solve_iteration_inv_cg(T_cw, lm_rho, lam, anch_kf, obs_kf, obs_lm,
     dx_pose = jnp.where(free, dx_pose, 0.0)
 
     # back-substitute rho
-    corr = jnp.zeros_like(Hrr).at[obs_lm].add(
-        jnp.einsum("ok,ok->o", g_obs, dx_pose[obs_kf])
-        + jnp.einsum("ok,ok->o", g_anch, dx_pose[anch_kf]))
+    if use_gemm:
+        corr = jnp.einsum("lka,ka->l", Z, dx_pose)
+    else:
+        corr = jnp.zeros_like(Hrr).at[obs_lm].add(
+            jnp.einsum("ok,ok->o", g_obs, dx_pose[obs_kf])
+            + jnp.einsum("ok,ok->o", g_anch, dx_pose[anch_kf]))
     d_rho = (brho - corr) / Hrr_d
 
     new_T_cw = lie.pose_left_update(T_cw, dx_pose)
@@ -293,7 +359,8 @@ def _solve_iteration_inv(T_cw, lm_rho, lam, lm_anchor, lm_ray,
         # ITERATIVE_SCHUR for `optimizer.cpp:1674-2332`)
         return _solve_iteration_inv_cg(
             T_cw, lm_rho, lam, anch_kf, obs_kf, obs_lm, w, free_pose,
-            r, J_obs, J_anch, J_rho, wJ_obs, wJ_anch, wJ_rho, Hrr, brho)
+            r, J_obs, J_anch, J_rho, wJ_obs, wJ_anch, wJ_rho, Hrr, brho,
+            n_iters=min(max(100, 2 * Kw), 600))
 
     O = r.shape[0]
     if O * Kw * 12 * 4 <= 256 * 1024 * 1024:

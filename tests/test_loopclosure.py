@@ -174,6 +174,7 @@ def test_island_sum_scoring_prefers_true_island():
     assert all(g < 6 for g in got), got
 
 
+@pytest.mark.slow
 def test_loop_closure_fires_at_fast_kp_budget():
     """E2E: circular revisit with the fast profile's sparse kp budget
     (nmaxdist 50 → 160 cells). The ≤max_kps extra FAST/BRIEF query
@@ -181,14 +182,24 @@ def test_loop_closure_fires_at_fast_kp_budget():
     from ov2slam_tpu.io.synthetic import generate_sequence
     from ov2slam_tpu.models.slam import SlamManager
 
-    seq = generate_sequence(n_frames=160, stereo=True, width=376,
+    # two-lap revisit: the whole second lap re-observes lap-1 viewpoints,
+    # so the island temporal-consistency gate (>=2 consecutive hits) has a
+    # real revisit phase to latch onto — a single-lap circle only matches
+    # in its last 1-2 keyframes, which no detector should accept
+    seq = generate_sequence(n_frames=200, stereo=True, width=376,
                             height=240, n_points=4000, seed=6,
-                            kind="loop", speed=0.06)
-    # the FAST profile's sparse budget: nmaxdist 50, gridFAST detector
+                            kind="revisit", speed=0.06)
+    # the FAST profile's sparse budget: nmaxdist 50, gridFAST detector.
+    # Local-map matching is OFF: on a drift-free synthetic loop it would
+    # silently merge lap-2 observations into lap-1 landmarks, making every
+    # candidate covisibility-excluded (the map closes itself and LC
+    # correctly has nothing to do). Disabling it models the real revisit
+    # case — accumulated drift defeats local-map matching and the place
+    # index has to recognize the loop.
     cfg = seq.make_config(max_keyframes=128, max_landmarks=16384,
                           use_fast=True, max_dist=50,
                           use_loop_closer=True, lc_recent_mask=10,
-                          lc_min_score=0.2)
+                          lc_min_score=0.2, do_track_localmap=False)
     slam = SlamManager(cfg)
     for i in range(len(seq.times)):
         slam.process_frame(seq.images_left[i], seq.images_right[i],

@@ -116,16 +116,21 @@ def test_build_ba_problem(store):
     assert store.lm_pos[prob.lm_ids[1]][0] == new_lms[1][0]
 
 
-def test_capacity_errors():
+def test_capacity_behavior():
     cfg = SlamConfig(max_keyframes=2, max_landmarks=4)
     store = MapStore(cfg)
     store.new_landmarks(4)
-    with pytest.raises(RuntimeError):
-        store.new_landmarks(1)
+    with pytest.raises(RuntimeError):   # callers clamp via
+        store.new_landmarks(1)          # free_landmark_capacity
     add_kf(store, 0.0)
-    add_kf(store, 1.0)
-    with pytest.raises(RuntimeError):
-        add_kf(store, 2.0)
+    k1 = add_kf(store, 1.0)
+    # keyframes degrade gracefully at capacity: the OLDEST is evicted
+    # (sliding-map backstop) instead of aborting a long run
+    k2 = add_kf(store, 2.0)
+    assert store.n_keyframes == 2
+    assert store.n_evictions == 1
+    assert store.kf_valid[k1] and store.kf_valid[k2]
+    assert sorted(store.kf_times[store.kf_valid].tolist()) == [1.0, 2.0]
 
 
 def test_checkpoint_roundtrip(tmp_path, store):
