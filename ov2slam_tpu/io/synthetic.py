@@ -193,7 +193,8 @@ def _render_occluders(img: np.ndarray, pts_cam: np.ndarray,
 
 def _apply_photometrics(img: np.ndarray, frame_idx: int, t: float,
                         rp: RealismParams,
-                        vmap: Optional[np.ndarray]) -> np.ndarray:
+                        vmap: Optional[np.ndarray],
+                        view: int = 0) -> np.ndarray:
     out = img
     if rp.exposure_amp or rp.bias_amp:
         w = 2 * np.pi * t / max(rp.exposure_period_s, 1e-6)
@@ -203,7 +204,11 @@ def _apply_photometrics(img: np.ndarray, frame_idx: int, t: float,
     if vmap is not None:
         out = out * vmap
     if rp.noise_std > 0:
-        nrng = np.random.default_rng(rp.seed * 100003 + frame_idx)
+        # independent read-noise realization per stereo view: a shared
+        # field would correlate left/right noise and favorably bias
+        # stereo matching vs a real sensor pair
+        nrng = np.random.default_rng(
+            rp.seed * 100003 + 2 * frame_idx + view)
         out = out + nrng.normal(0.0, rp.noise_std,
                                 size=out.shape).astype(np.float32)
     return np.clip(out, 0.0, 255.0).astype(np.float32)
@@ -381,7 +386,8 @@ class _SceneRenderer:
                 self._occ_at, self._occ_inten, self._occ_tex = \
                     _occluder_tracks(realism, self.gt)
 
-    def _render_view(self, i: int, t: float, M_cw: np.ndarray) -> np.ndarray:
+    def _render_view(self, i: int, t: float, M_cw: np.ndarray,
+                     view: int = 0) -> np.ndarray:
         pc = (M_cw[:3, :3] @ self.points.T).T + M_cw[:3, 3]
         img = render_splats(pc, self.inten, self.K, self.width, self.height,
                             patterns=self.patterns)
@@ -392,7 +398,7 @@ class _SceneRenderer:
                 occ_c = (M_cw[:3, :3] @ occ_w.T).T + M_cw[:3, 3]
                 _render_occluders(img, occ_c, self._occ_inten, self._occ_tex,
                                   self.K, rp.occluder_radius)
-            img = _apply_photometrics(img, i, t, rp, self._vmap)
+            img = _apply_photometrics(img, i, t, rp, self._vmap, view)
         return img
 
     def render_frame(self, i: int) -> Tuple[np.ndarray,
@@ -403,7 +409,7 @@ class _SceneRenderer:
         left = self._render_view(i, t, M_cw)
         right = None
         if self.stereo:
-            right = self._render_view(i, t, self._M_rl @ M_cw)
+            right = self._render_view(i, t, self._M_rl @ M_cw, view=1)
         return left, right
 
 

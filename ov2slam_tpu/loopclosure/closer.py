@@ -113,6 +113,8 @@ class LoopCloser:
         if ok:
             self.n_closures += 1
             self.estimator.lc_kf_id = int(cand)
+            # also shield it from capacity eviction (`store.add_keyframe`)
+            self.map.protected_kf_slots = {int(cand)}
         return ok
 
     # ------------------------------------------------------------------ #

@@ -17,7 +17,7 @@ _ARRAYS = [
     "kf_valid", "kf_times", "kf_poses", "kf_seq",
     "obs_lmid", "obs_px", "obs_rpx", "obs_is_stereo", "obs_desc",
     "lm_valid", "lm_is3d", "lm_pos", "lm_desc", "lm_anchor_kf",
-    "lm_obs_kf", "lm_obs_slot",
+    "lm_obs_kf", "lm_obs_slot", "lm_gen",
 ]
 _SCALARS = ["_next_kf", "_next_lm", "_kf_seq_counter"]
 _FREELISTS = ["_free_kf", "_free_lm"]

@@ -65,6 +65,13 @@ class BAProblem:
     # in the anchor KF (`optimizer.cpp:207-290`, `map_point.hpp:85-86`)
     lm_anchor: np.ndarray = None       # (Lw,) int32 window idx (-1 pad)
     lm_anchor_px: np.ndarray = None    # (Lw, 2) f32
+    # identity snapshots taken at build time: a solve may run outside the
+    # map lock while slots are freed AND recycled (capacity eviction on
+    # the front-end thread); write-back must skip any slot whose identity
+    # changed, or a recycled slot's brand-new keyframe/landmark would be
+    # overwritten with the evicted one's optimized state
+    kf_seq_snap: np.ndarray = None     # (Kw,) int64 kf_seq at build (-1 pad)
+    lm_gen_snap: np.ndarray = None     # (Lw,) int64 lm_gen at build
 
     @property
     def n_obs(self) -> int:
@@ -98,6 +105,9 @@ class MapStore:
 
         # landmarks
         self.lm_valid = np.zeros(L, bool)
+        # allocation generation per slot — bumped each time the slot is
+        # (re)allocated, so snapshots can detect recycled slots
+        self.lm_gen = np.zeros(L, np.int64)
         self.lm_is3d = np.zeros(L, bool)
         self.lm_pos = np.zeros((L, 3), np.float32)
         self.lm_desc = np.zeros((L, 8), np.uint32)
@@ -114,6 +124,10 @@ class MapStore:
         self._free_kf: List[int] = []
         self.n_evictions = 0
         self._free_lm: List[int] = []
+        # keyframe slots capacity eviction must never pick (the
+        # loop-closure-held KF, `estimator.cpp:129-131`); the origin
+        # (kf_seq == 0) is skipped implicitly
+        self.protected_kf_slots: set = set()
 
     # ----------------------------------------------------------------- #
     # landmarks
@@ -143,6 +157,7 @@ class MapStore:
             np.arange(self._next_lm, self._next_lm + n_fresh,
                       dtype=np.int32)])
         self._next_lm += n_fresh
+        self.lm_gen[ids] += 1
         self.lm_valid[ids] = True
         self.lm_is3d[ids] = False
         # recycled slots must not leak prior state
@@ -249,11 +264,19 @@ class MapStore:
             # (`Estimator::mapFiltering`); eviction is the backstop when a
             # trajectory produces more non-redundant views than capacity.
             # Loop-closure entries detect the recycled slot via kf_seq.
+            # Never evict the origin (the map's gauge anchor, which
+            # mapFiltering also refuses to cull) or an LC-protected KF;
+            # take the next-oldest instead.
             oldest = self.kfs_by_seq()
             if len(oldest) == 0:
                 raise RuntimeError(
                     f"keyframe capacity exceeded (0 free of {self.K})")
-            self.remove_keyframe(int(oldest[0]))
+            victim = next(
+                (int(k) for k in oldest
+                 if self.kf_seq[k] != 0
+                 and int(k) not in self.protected_kf_slots),
+                int(oldest[0]))
+            self.remove_keyframe(victim)
             self.n_evictions += 1
             kfid = self._free_kf.pop()
         self.kf_seq[kfid] = self._kf_seq_counter
@@ -513,18 +536,34 @@ class MapStore:
             obs_valid=obs_kf >= 0,
             lm_anchor=lm_anchor,
             lm_anchor_px=lm_anchor_px,
+            kf_seq_snap=np.where(kf_ids >= 0,
+                                 self.kf_seq[np.maximum(kf_ids, 0)], -1),
+            lm_gen_snap=np.where(lm_ids >= 0,
+                                 self.lm_gen[np.maximum(lm_ids, 0)], -1),
         )
 
     def apply_ba_result(self, problem: BAProblem, new_kf_poses: np.ndarray,
                         new_lm_pos: np.ndarray,
                         lm_keep: Optional[np.ndarray] = None):
         """Write back optimized poses/landmarks (`optimizer.cpp:737-896`);
-        optionally cull landmarks flagged bad by the solver."""
+        optionally cull landmarks flagged bad by the solver.
+
+        The solve may have run outside the map lock while slots were freed
+        and recycled (capacity eviction, culling): any slot whose identity
+        snapshot (kf_seq / lm_gen) no longer matches is skipped — it now
+        holds a different keyframe/landmark than the one optimized."""
         for i, k in enumerate(problem.kf_ids):
-            if k >= 0 and not problem.kf_fixed[i] and self.kf_valid[k]:
-                self.kf_poses[k] = new_kf_poses[i]
+            if k < 0 or problem.kf_fixed[i] or not self.kf_valid[k]:
+                continue
+            if (problem.kf_seq_snap is not None
+                    and self.kf_seq[k] != problem.kf_seq_snap[i]):
+                continue
+            self.kf_poses[k] = new_kf_poses[i]
         for i, l in enumerate(problem.lm_ids):
             if l < 0 or not self.lm_valid[l]:
+                continue
+            if (problem.lm_gen_snap is not None
+                    and self.lm_gen[l] != problem.lm_gen_snap[i]):
                 continue
             if lm_keep is not None and not lm_keep[i]:
                 self.remove_landmark(int(l))

@@ -244,8 +244,10 @@ def _solve_normal_iteration(T_cw, points, lam, obs_kf, obs_lm, obs_px,
         # (Lw, Kw, 6, 3) cross tensor fits comfortably in HBM, build it
         # once (low-collision scatter: ~2 obs per slot) so the CG loop is
         # scatter-free; beyond that, the O(obs) scatter matvec.
+        # guard at 1 GB: _schur_pcg materializes ZH of identical shape, so
+        # peak HBM is ~2x this tensor plus Hessian/CG state
         Z_cg = None
-        if Lw * Kw * 18 * 4 <= 2 * 1024 ** 3:
+        if Lw * Kw * 18 * 4 <= 1024 ** 3:
             Z_cg = jnp.zeros((Lw, Kw, 6, 3), r.dtype).at[
                 obs_lm, obs_kf].add(Wo)
         dx_pose = _schur_pcg(Hpp_d, bp, Hll_inv, bl, Wo, obs_kf, obs_lm,

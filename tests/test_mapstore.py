@@ -122,15 +122,16 @@ def test_capacity_behavior():
     store.new_landmarks(4)
     with pytest.raises(RuntimeError):   # callers clamp via
         store.new_landmarks(1)          # free_landmark_capacity
-    add_kf(store, 0.0)
-    k1 = add_kf(store, 1.0)
-    # keyframes degrade gracefully at capacity: the OLDEST is evicted
-    # (sliding-map backstop) instead of aborting a long run
+    k0 = add_kf(store, 0.0)
+    add_kf(store, 1.0)
+    # keyframes degrade gracefully at capacity: the oldest NON-ORIGIN is
+    # evicted (sliding-map backstop; the origin anchors the gauge and is
+    # never culled) instead of aborting a long run
     k2 = add_kf(store, 2.0)
     assert store.n_keyframes == 2
     assert store.n_evictions == 1
-    assert store.kf_valid[k1] and store.kf_valid[k2]
-    assert sorted(store.kf_times[store.kf_valid].tolist()) == [1.0, 2.0]
+    assert store.kf_valid[k0] and store.kf_valid[k2]
+    assert sorted(store.kf_times[store.kf_valid].tolist()) == [0.0, 2.0]
 
 
 def test_checkpoint_roundtrip(tmp_path, store):

@@ -131,3 +131,66 @@ def test_e2e_tight_capacity_run_completes():
     res = run_sequence(cfg, seq, gt_poses=seq.gt_poses)
     assert res.n_processed == 60
     assert res.ate is not None and res.ate < 0.15
+
+
+def test_stale_ba_writeback_skips_recycled_slots():
+    """A BA problem built before slots were freed+recycled must not write
+    the evicted keyframe's pose (or the freed landmark's position) onto
+    the brand-new occupant of the slot (advisor round-2 medium)."""
+    store = MapStore(_cfg(K=8, L=64))
+    lms = store.new_landmarks(6)
+    store.set_landmark_positions(lms, np.ones((6, 3), np.float32))
+    k0 = _add_kf(store, 0.0, lms)
+    k1 = _add_kf(store, 1.0, lms)
+    k2 = _add_kf(store, 2.0, lms)
+
+    prob = store.build_ba_problem([k0, k1, k2], [k0], max_kfs=8,
+                                  max_obs=64)
+    assert prob.kf_seq_snap is not None and prob.lm_gen_snap is not None
+
+    # concurrently (conceptually): k2 evicted, slot recycled for a new KF
+    store.remove_keyframe(k2)
+    store.remove_landmark(int(lms[0]))
+    new_lm = store.new_landmarks(1)      # recycles lms[0]'s slot
+    assert int(new_lm[0]) == int(lms[0])
+    store.set_landmark_positions(new_lm, np.full((1, 3), 7.0, np.float32))
+    k2b = _add_kf(store, 3.0, new_lm)
+    assert k2b == k2                     # slot recycled
+    fresh_pose = store.kf_poses[k2b].copy()
+
+    # stale write-back: poses/points all moved by the solver
+    new_poses = prob.kf_poses.copy()
+    new_poses[:, 4:] += 9.0
+    new_pts = prob.lm_pos + 5.0
+    store.apply_ba_result(prob, new_poses, new_pts)
+
+    np.testing.assert_array_equal(store.kf_poses[k2b], fresh_pose)
+    np.testing.assert_array_equal(store.lm_pos[int(new_lm[0])],
+                                  np.full(3, 7.0, np.float32))
+    # non-recycled slots DID get the update
+    assert np.allclose(store.kf_poses[k1, 4:],
+                       prob.kf_poses[1, 4:] + 9.0)
+
+    # stale lm_keep=False must not cull the recycled slot's new landmark
+    prob2 = store.build_ba_problem([k0, k1], [k0], max_kfs=8, max_obs=64)
+    store.remove_landmark(int(lms[1]))
+    nl2 = store.new_landmarks(1)
+    assert int(nl2[0]) == int(lms[1])
+    store.set_landmark_positions(nl2, np.ones((1, 3), np.float32))
+    keep = np.zeros(len(prob2.lm_ids), bool)
+    store.apply_ba_result(prob2, prob2.kf_poses, prob2.lm_pos, keep)
+    assert store.lm_valid[int(nl2[0])]
+
+
+def test_eviction_skips_origin_and_protected_kf():
+    store = MapStore(_cfg(K=4, L=64))
+    lms = store.new_landmarks(4)
+    store.set_landmark_positions(lms, np.ones((4, 3), np.float32))
+    ks = [_add_kf(store, float(t), lms) for t in range(4)]
+    store.protected_kf_slots = {ks[1]}
+    # full: next add must evict — but not the origin (seq 0) nor ks[1]
+    k_new = _add_kf(store, 9.0, lms)
+    assert store.kf_valid[ks[0]] and store.kf_seq[ks[0]] == 0
+    assert store.kf_valid[ks[1]]
+    assert k_new == ks[2]                # oldest unprotected was evicted
+    assert store.n_evictions == 1
