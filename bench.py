@@ -84,7 +84,7 @@ def bench_frontend(jax, jnp):
 
     def step(img, prev_pyr):
         return fused_track_step(
-            img, prev_pyr, px, valid, lm_pos, is3d, T_pred, px,
+            img, prev_pyr, px, valid, lm_pos, is3d, T_pred, T_pred, px,
             valid, key, calib,
             jnp.float32(3.0), jnp.float32(0.5), jnp.float32(30.0),
             jnp.float32(3.0), jnp.float32(5.9915),

@@ -255,6 +255,16 @@ class SyntheticSequence:
         cfg = SlamConfig(
             mono=not self.stereo, stereo=self.stereo,
             cam_left=left, cam_right=right)
+        # keep the reference's feature DENSITY at reduced resolutions:
+        # its protocol is nmaxdist=50 at 752 px width (160 grid cells,
+        # `slam_params.cpp:107-110`); a quarter-res render with the same
+        # pixel pitch would track 1/4 the features and fail turns the
+        # reference survives
+        cfg.max_dist = max(20, int(round(50 * self.width / 752)))
+        # pixel-unit parallax gate likewise assumes the reference's 752 px
+        # width (focal scales with width here): the same ANGULAR parallax
+        # is half the pixels at half the resolution
+        cfg.init_parallax = max(8.0, cfg.init_parallax * self.width / 752)
         for k, v in overrides.items():
             setattr(cfg, k, v)
         return cfg.validate()
@@ -362,10 +372,16 @@ class _SceneRenderer:
         self.stereo = stereo
         self.realism = realism
 
-        # landmarks in a thick shell around the whole trajectory
+        # landmarks in a thick shell around the whole trajectory. The
+        # padding must be deep in EVERY direction the camera can face:
+        # trajectories with heading reversals (lawnmower, revisit) look
+        # backwards along -z and outwards along ±x at row ends, and a
+        # shallow scene there leaves the view nearly empty — the detector
+        # then fills cells with sensor-noise corners and the map poisons
+        # itself with noise-triangulated landmarks.
         traj_span = self.gt[:, 4:7]
-        lo = traj_span.min(0) - np.array([8.0, 5.0, 4.0])
-        hi = traj_span.max(0) + np.array([8.0, 5.0, 14.0])
+        lo = traj_span.min(0) - np.array([10.0, 5.0, 10.0])
+        hi = traj_span.max(0) + np.array([10.0, 5.0, 10.0])
         self.points = rng.uniform(lo, hi, size=(n_points, 3))
         self.inten = rng.uniform(60.0, 200.0, size=n_points)
         self.patterns = make_patterns(n_points, seed=seed + 1)

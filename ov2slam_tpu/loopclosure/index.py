@@ -29,6 +29,14 @@ import numpy as np
 _CHUNK = 16
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _set_rows(desc_cube, valid_cube, i, d_row, v_row):
+    """Write one stored-KF row into the device-resident cubes IN PLACE
+    (donated buffers: XLA aliases input/output, no cube copy) — one
+    dispatch instead of two full-cube copies per added keyframe."""
+    return (desc_cube.at[i].set(d_row), valid_cube.at[i].set(v_row))
+
+
 @partial(jax.jit, static_argnames=())
 def _match_scores(store_desc, store_valid, q_desc, q_valid, match_bits):
     """Scores of a query against all stored KFs.
@@ -146,9 +154,9 @@ class PlaceIndex:
         else:
             while self._n_dev < len(self.kf_ids):
                 i = self._n_dev
-                self._dev_desc = self._dev_desc.at[i].set(
-                    jnp.asarray(self._desc[i]))
-                self._dev_valid = self._dev_valid.at[i].set(
+                self._dev_desc, self._dev_valid = _set_rows(
+                    self._dev_desc, self._dev_valid, jnp.int32(i),
+                    jnp.asarray(self._desc[i]),
                     jnp.asarray(self._valid[i]))
                 self._n_dev += 1
         return self._dev_desc, self._dev_valid

