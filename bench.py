@@ -48,7 +48,9 @@ def log(msg):
 def bench_frontend(jax, jnp):
     from ov2slam_tpu.core.image import build_pyramid
     from ov2slam_tpu.io.synthetic import generate_sequence
-    from ov2slam_tpu.models.frontend_step import CalibArrays, fused_track_step
+    from ov2slam_tpu.models.frontend_step import (CalibArrays,
+                                                  fused_track_step,
+                                                  pack_track_state)
     from ov2slam_tpu.utils import lie_np
 
     n_frames = 8
@@ -70,11 +72,12 @@ def bench_frontend(jax, jnp):
     v = K[1, 1] * pc[:, 1] / pc[:, 2] + K[1, 2]
     vis = (pc[:, 2] > 1) & (u > 30) & (u < 720) & (v > 30) & (v < 450)
     pick = rng.choice(np.nonzero(vis)[0], N, replace=False)
-    px = jnp.asarray(np.stack([u[pick], v[pick]], -1).astype(np.float32))
-    lm_pos = jnp.asarray(seq.points[pick].astype(np.float32))
-    valid = jnp.ones(N, bool)
-    is3d = jnp.ones(N, bool)
-    T_pred = jnp.asarray(T0.astype(np.float32))
+    px_np = np.stack([u[pick], v[pick]], -1).astype(np.float32)
+    lm_np = seq.points[pick].astype(np.float32)
+    ones = np.ones(N, bool)
+    T0f = T0.astype(np.float32)
+    state = jnp.asarray(pack_track_state(
+        px_np, lm_np, px_np, ones, ones, ones, T0f, T0f))
     key = jax.random.PRNGKey(0)
 
     pyr_fn = jax.jit(lambda im: tuple(build_pyramid(im, 4)))
@@ -82,18 +85,17 @@ def bench_frontend(jax, jnp):
     prev_pyr = pyr_fn(imgs[0])
     jax.block_until_ready(prev_pyr)
 
-    def step(img, prev_pyr):
+    def step(img, prev_pyr, key):
         return fused_track_step(
-            img, prev_pyr, px, valid, lm_pos, is3d, T_pred, T_pred, px,
-            valid, key, calib,
-            jnp.float32(3.0), jnp.float32(0.5), jnp.float32(30.0),
-            jnp.float32(3.0), jnp.float32(5.9915),
+            img, prev_pyr, state, key, calib,
+            clahe_val=3.0, max_fbklt_dist=0.5, klt_err=30.0,
+            ransac_err_px=3.0, robust_th=5.9915,
             levels=4, win=9, iters=30, use_clahe=False,
             do_epipolar=True, do_pose=True, ransac_iters=100,
             pnp_iters=10)
 
     t_compile0 = time.perf_counter()
-    out = step(imgs[1], prev_pyr)
+    out = step(imgs[1], prev_pyr, key)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t_compile0
     # NOTE: no np.array() readback before the timed loop — on a tunneled
@@ -107,10 +109,10 @@ def bench_frontend(jax, jnp):
     def run_window():
         t0 = time.perf_counter()
         outs = []
-        p = prev_pyr
+        p, k = prev_pyr, key
         for i in range(n_iters):
-            o = step(imgs[1 + i % (n_frames - 1)], p)
-            p = o[0]
+            o = step(imgs[1 + i % (n_frames - 1)], p, k)
+            p, k = o[0], o[2]
             outs.append(o)
         jax.block_until_ready(outs[-1])
         return n_iters / (time.perf_counter() - t0), outs[-1]

@@ -110,6 +110,20 @@ class Camera:
     def cy(self):
         return self.K[1, 2]
 
+    @property
+    def intrinsics_f(self) -> Tuple[float, float, float, float]:
+        """(fx, fy, cx, cy) as HOST Python floats, cached after one
+        readback. `float(cam.fx)` forces a device->host scalar transfer
+        (~30 ms per scalar over a tunneled remote chip); per-frame host
+        code must use this instead."""
+        c = getattr(self, "_intr_cache", None)
+        if c is None:
+            K = np.asarray(self.K)
+            c = (float(K[0, 0]), float(K[1, 1]),
+                 float(K[0, 2]), float(K[1, 2]))
+            object.__setattr__(self, "_intr_cache", c)
+        return c
+
     # -- projections ----------------------------------------------------- #
 
     def project_cam_to_image(self, pts_cam):

@@ -63,18 +63,29 @@ class LoopCloser:
         The extra kps are query/index-only; they never enter the map."""
         import jax.numpy as jnp
 
-        from ..ops.brief import describe_brief
-        from ..ops.detect import detect_grid_fast
+        from ..models.frontend_step import CalibArrays, \
+            fused_detect_describe
 
         cfg = self.cfg
-        # a finer grid than the tracker's: 4x the cells, best max_kps kept
-        kps, _, ok = detect_grid_fast(
-            img, jnp.asarray(kps_px), jnp.asarray(kps_valid),
-            20.0, cell_size=max(10, cfg.max_dist // 2),
-            max_out=cfg.max_kps)
-        desc, ok2 = describe_brief(img, kps, ok)
-        return np.array(kps, np.float32), np.array(desc, np.uint32), \
-            np.array(ok2)
+        if getattr(self, "_calib_dev", None) is None:
+            self._calib_dev = CalibArrays(
+                fx=jnp.asarray(self.cam.fx, jnp.float32),
+                fy=jnp.asarray(self.cam.fy, jnp.float32),
+                cx=jnp.asarray(self.cam.cx, jnp.float32),
+                cy=jnp.asarray(self.cam.cy, jnp.float32),
+                dist=jnp.asarray(self.cam.dist, jnp.float32))
+        # a finer grid than the tracker's: 4x the cells, best max_kps
+        # kept; ONE dispatch + two readbacks (desc / geometry)
+        N = len(kps_px)
+        desc_all, det = fused_detect_describe(
+            img, jnp.asarray(kps_px), jnp.asarray(kps_valid), 20.0,
+            self._calib_dev, detector="fast",
+            cell_size=max(10, cfg.max_dist // 2), max_out=cfg.max_kps,
+            fisheye=self.cam.model == "fisheye")
+        det = np.asarray(det)
+        return (det[:, 0:2].astype(np.float32),
+                np.asarray(desc_all)[N:].astype(np.uint32),
+                det[:, 5] > 0.5)
 
     def process_keyframe(self, kfid: int, img=None) -> bool:
         """Query + verify + close. Returns True if a loop was closed.
@@ -150,8 +161,7 @@ class LoopCloser:
         cand_px = m.obs_px[cand][idx[matched]]
 
         # 2) epipolar filter (10x RANSAC iters, `loop_closer.cpp:484`)
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        fx, fy, cx, cy = self.cam.intrinsics_f
         n = len(matched)
         cap = ((n + 127) // 128) * 128
         xl = np.zeros((cap, 2), np.float32)
@@ -228,8 +238,7 @@ class LoopCloser:
         if len(local) == 0:
             return T_init, 0, [], 0
 
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        fx, fy, cx, cy = self.cam.intrinsics_f
         gy, gx = cfg.grid_cells
         pair_gate = max(6, int(round(gy * gx * 10 / 300)))
 

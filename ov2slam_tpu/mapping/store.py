@@ -492,10 +492,15 @@ class MapStore:
                         n += 1
 
         Lw = len(lm_sel)
-        lm_ids = np.full(max(Lw, 1), -1, np.int32)
-        lm_pos = np.zeros((max(Lw, 1), 3), np.float32)
-        lm_anchor = np.full(max(Lw, 1), -1, np.int32)
-        lm_anchor_px = np.zeros((max(Lw, 1), 2), np.float32)
+        # BUCKETED padding: the landmark count is the only dynamic shape
+        # in the BA problem; left unpadded, every distinct Lw compiles a
+        # fresh XLA program (~3-8 s each) — with 256-buckets the solver
+        # signature set collapses to a handful, compiled once per run
+        Lcap = max(256, ((Lw + 255) // 256) * 256)
+        lm_ids = np.full(Lcap, -1, np.int32)
+        lm_pos = np.zeros((Lcap, 3), np.float32)
+        lm_anchor = np.full(Lcap, -1, np.int32)
+        lm_anchor_px = np.zeros((Lcap, 2), np.float32)
         if Lw:
             lm_ids[:Lw] = lm_sel
             lm_pos[:Lw] = self.lm_pos[lm_sel]

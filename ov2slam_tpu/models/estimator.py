@@ -15,7 +15,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..solvers.ba import BAParams, ba_solve_two_pass, make_ba_params
-from ..solvers.ba_invdepth import ba_solve_invdepth_two_pass, invdepth_state
+from ..solvers.ba_invdepth import (ba_invdepth_packed, invdepth_state,
+                                   pack_ba_invdepth)
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
 
@@ -87,18 +88,21 @@ class Estimator:
 
         if cfg.use_inv_depth:
             # anchored inverse-depth parameterization (`buse_inv_depth`,
-            # KSE3AnchInvDepth factors, `optimizer.cpp:207-290`)
+            # KSE3AnchInvDepth factors, `optimizer.cpp:207-290`) —
+            # single-buffer transport (one upload + one readback RPC)
             rho, ray, obs_valid = invdepth_state(prob, self.params)
-            poses, points, _, inlier, cost = ba_solve_invdepth_two_pass(
-                jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),
-                jnp.asarray(rho), jnp.asarray(prob.lm_anchor),
-                jnp.asarray(ray),
-                jnp.asarray(prob.obs_kf), jnp.asarray(prob.obs_lm),
-                jnp.asarray(prob.obs_px), jnp.asarray(prob.obs_cam),
-                jnp.asarray(obs_valid), self.params,
-                robust_th=cfg.robust_mono_th,
+            Kw = len(prob.kf_ids)
+            Lw = len(prob.lm_ids)
+            O = len(prob.obs_kf)
+            flat = pack_ba_invdepth(prob, rho, ray, obs_valid)
+            out = np.asarray(ba_invdepth_packed(
+                jnp.asarray(flat), self.params, Kw=Kw, Lw=Lw, O=O,
+                robust_th=float(cfg.robust_mono_th),
                 iters_robust=cfg.ba_iters,
-                iters_l2=3 if cfg.apply_l2_after_robust else 0)
+                iters_l2=3 if cfg.apply_l2_after_robust else 0))
+            poses = out[:Kw * 7].reshape(Kw, 7)
+            points = out[Kw * 7:Kw * 7 + Lw * 3].reshape(Lw, 3)
+            inlier = out[Kw * 7 + Lw * 3:Kw * 7 + Lw * 3 + O] > 0.5
         else:
             poses, points, inlier, cost = ba_solve_two_pass(
                 jnp.asarray(prob.kf_poses), jnp.asarray(prob.kf_fixed),

@@ -28,11 +28,8 @@ from ..core.image import build_pyramid, clahe
 from ..geometry.essential import essential_from_pose, relative_pose_ransac, sampson_dist_sq
 from ..geometry.pnp import p3p_ransac
 from ..geometry.triangulation import triangulate_midpoint
-from ..ops.brief import describe_brief
-from ..ops.detect import detect_gftt, detect_grid_fast, detect_single_scale
-from ..ops.klt import fb_klt_track
 from ..solvers.pnp_refine import pnp_refine
-from .frontend_step import CalibArrays, fused_track_step
+from .frontend_step import CalibArrays, fused_track_step, pack_track_state
 from ..utils import lie_np
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
@@ -124,6 +121,16 @@ class FrontEnd:
             cy=jnp.asarray(cam_l.cy, jnp.float32),
             dist=jnp.asarray(cam_l.dist, jnp.float32))
         self._fisheye = cam_l.model == "fisheye"
+        # fixed-shape jitted undistortion over the full slot array: calling
+        # cam.undistort_px on a fancy-indexed subset recompiles (and pays
+        # eager per-op dispatch) for every distinct new-detection count —
+        # ~2 s per keyframe on a remote-attached device
+        self._undist_all = jax.jit(cam_l.undistort_px)
+        # transfer discipline: ONE packed upload per frame (preallocated
+        # host buffer) + a device-resident PRNG key chain (the fused step
+        # returns its successor key — no per-frame host split dispatch)
+        self._state_buf = np.zeros((cfg.max_kps + 2, 8), np.float32)
+        self._key_dev = jax.random.PRNGKey(0)
 
     # ------------------------------------------------------------------ #
 
@@ -172,6 +179,7 @@ class FrontEnd:
             self._frames_since_kf = 0
             return True
 
+        self.prof.start("0.FE_pre")
         T_pred = self.motion.predict(time)
         if T_pred is None:
             T_pred = f.T_wc.astype(np.float64)
@@ -198,22 +206,29 @@ class FrontEnd:
                 kfid, slot_in_kf[pair_valid]]
 
         # --- one fused device step ------------------------------------- #
+        self.prof.stop("0.FE_pre")
+        self.prof.start("0.FE_dispatch")
         do_pose = bool(self.initialized)
         debug = getattr(self, "debug_gates", False)
+        state = pack_track_state(f.px, lm_pos, kf_px, f.valid, is3d,
+                                 pair_valid, np.asarray(T_pred, np.float32),
+                                 np.asarray(T_kf, np.float32),
+                                 out=self._state_buf)
+        if isinstance(img, np.ndarray):
+            # uint8 upload: 4x less tunnel bandwidth; real sensors are
+            # 8-bit so the cast is lossless for dataset replay
+            img_u8 = (img if img.dtype == np.uint8
+                      else np.clip(np.round(img), 0, 255).astype(np.uint8))
+        else:
+            img_u8 = img   # already device-resident (rectified/undistorted)
         out = fused_track_step(
-                jnp.asarray(img, jnp.float32), self.cur_pyr,
-                jnp.asarray(f.px), jnp.asarray(f.valid),
-                jnp.asarray(lm_pos.astype(np.float32)),
-                jnp.asarray(is3d),
-                jnp.asarray(T_pred.astype(np.float32)),
-                jnp.asarray(np.asarray(T_kf, np.float32)),
-                jnp.asarray(kf_px), jnp.asarray(pair_valid),
-                self._next_key(), self._calib,
-                jnp.float32(cfg.clahe_val),
-                jnp.float32(cfg.max_fbklt_dist),
-                jnp.float32(cfg.klt_err),
-                jnp.float32(cfg.ransac_err),
-                jnp.float32(cfg.robust_mono_th),
+                jnp.asarray(img_u8), self.cur_pyr,
+                jnp.asarray(state), self._key_dev, self._calib,
+                clahe_val=float(cfg.clahe_val),
+                max_fbklt_dist=float(cfg.max_fbklt_dist),
+                klt_err=float(cfg.klt_err),
+                ransac_err_px=float(cfg.ransac_err),
+                robust_th=float(cfg.robust_mono_th),
                 levels=cfg.klt_levels, win=cfg.klt_win_size,
                 iters=cfg.max_iter, use_clahe=cfg.use_clahe,
                 do_epipolar=cfg.do_epipolar, do_pose=do_pose,
@@ -221,15 +236,18 @@ class FrontEnd:
                 fisheye=self._fisheye, use_prior=cfg.klt_use_prior,
                 debug=debug)
         if debug:
-            cur_pyr, packed, dbg = out
+            cur_pyr, packed, self._key_dev, dbg = out
             self.last_debug = jax.tree_util.tree_map(np.asarray, dbg)
         else:
-            cur_pyr, packed = out
+            cur_pyr, packed, self._key_dev = out
 
         self.prev_pyr = self.cur_pyr
         self.cur_pyr = cur_pyr
+        self.prof.stop("0.FE_dispatch")
         # single packed readback (one RPC on a remote-attached device)
+        self.prof.start("0.FE_readback")
         packed = np.asarray(packed)
+        self.prof.stop("0.FE_readback")
         N = len(f.px)
         tracked = packed[:N, 0:2]
         und = packed[:N, 2:4]
@@ -269,7 +287,9 @@ class FrontEnd:
         self.motion.update(f.T_wc.astype(np.float64), time)
         self._frames_since_kf += 1
 
+        self.prof.start("0.FE_kfcheck")
         is_kf = self.check_new_kf()
+        self.prof.stop("0.FE_kfcheck")
         self.prof.stop("0.Full-Front_End")
         if is_kf:
             self._frames_since_kf = 0
@@ -302,8 +322,7 @@ class FrontEnd:
         px_p[:n3d] = px
         vm[:n3d] = True
 
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        fx, fy, cx, cy = self.cam.intrinsics_f
 
         T0 = T_pred.astype(np.float32)
         use_p3p = cfg.do_p3p
@@ -398,8 +417,7 @@ class FrontEnd:
         T_kf = self.map.kf_poses[kfid].astype(np.float64)
         R_rel = lie_np.quat_to_matrix(
             lie_np.pose_relative(f.T_wc.astype(np.float64), T_kf)[:4])
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        fx, fy, cx, cy = self.cam.intrinsics_f
         xn = np.concatenate([(kf - (cx, cy)) / (fx, fy),
                              np.ones((len(kf), 1))], -1)
         rot = (R_rel @ xn.T).T
@@ -419,21 +437,27 @@ class FrontEnd:
 
         # dispatch mirrors `map_manager.cpp:312-323`: use_shi_tomasi →
         # GFTT (two-pass + cornerSubPix), use_fast → grid FAST,
-        # use_singlescale_detector → single-scale Shi-Tomasi
+        # use_singlescale_detector → single-scale Shi-Tomasi.
+        # ONE fused dispatch + two readbacks (desc / geometry) per KF.
         if cfg.use_shi_tomasi:
-            kps, scores, ok = detect_gftt(
-                img, jnp.asarray(f.px), jnp.asarray(f.valid),
-                self._quality, cell_size=cfg.max_dist, max_out=cfg.max_kps)
+            detector, thresh = "gftt", self._quality
         elif cfg.use_singlescale_detector:
-            kps, scores, ok = detect_single_scale(
-                img, jnp.asarray(f.px), jnp.asarray(f.valid),
-                self._quality, cell_size=cfg.max_dist, max_out=cfg.max_kps)
+            detector, thresh = "single", self._quality
         else:
-            kps, scores, ok = detect_grid_fast(
-                img, jnp.asarray(f.px), jnp.asarray(f.valid),
-                self._fast_th, cell_size=cfg.max_dist, max_out=cfg.max_kps)
-        kps = np.array(kps)
-        ok = np.array(ok)
+            detector, thresh = "fast", self._fast_th
+        from .frontend_step import fused_detect_describe
+
+        desc_all, det_packed = fused_detect_describe(
+            img, jnp.asarray(f.px), jnp.asarray(f.valid),
+            float(thresh), self._calib, detector=detector,
+            cell_size=cfg.max_dist, max_out=cfg.max_kps,
+            fisheye=self._fisheye)
+        desc_all = np.asarray(desc_all)
+        det_packed = np.asarray(det_packed)
+        N = len(f.px)
+        kps = det_packed[:, 0:2]
+        und_new = det_packed[:, 2:4]
+        ok = det_packed[:, 5] > 0.5
 
         # adaptive threshold update (`feature_extractor.cpp:418-423,546-552`)
         n_det = int(ok.sum())
@@ -454,25 +478,22 @@ class FrontEnd:
             elif n_det > 0.9 * n_free:
                 self._fast_th = min(80.0, self._fast_th * 1.5)
 
-        # place new kps into free slots
+        # place new kps into free slots; descriptors and undistorted px
+        # came back from the fused call (desc_all rows N.. / und_new)
         free_slots = np.nonzero(~f.valid)[0]
+        desc = desc_all[:N].copy()
         new_rows = []
         det_rows = np.nonzero(ok)[0]
         for i, slot in zip(det_rows, free_slots):
             f.px[slot] = kps[i]
+            f.px_und[slot] = und_new[i]
             f.valid[slot] = True
             f.lmids[slot] = -1  # landmark assigned by caller
+            desc[slot] = desc_all[N + i]
             new_rows.append(slot)
         new_rows = np.array(new_rows, np.int64)
-        if len(new_rows):
-            und = np.array(
-                self.cam.undistort_px(jnp.asarray(f.px[new_rows])))
-            f.px_und[new_rows] = und
-
-        desc, dok = describe_brief(
-            img, jnp.asarray(f.px), jnp.asarray(f.valid))
         self.prof.stop("1.KF_DetectDescribe")
-        return new_rows, np.array(desc)
+        return new_rows, desc
 
     # ------------------------------------------------------------------ #
 

@@ -9,9 +9,21 @@ per-frame device computation — CLAHE, pyramid build, landmark-projection
 priors, forward-backward KLT, undistortion, essential-RANSAC outlier
 gating, and two-pass motion-only PnP — into a single jitted function.
 
-Host keeps only slot bookkeeping and the keyframe decision; the pyramids
-stay resident on device between frames (returned as outputs, fed back as
-inputs).
+Transfer discipline (the throughput limiter on a tunneled remote device
+is round-trip COUNT, not compute):
+- every per-frame host input is packed into ONE (N+2, 8) f32 array —
+  one upload RPC instead of ~10,
+- the image uploads as uint8 (4x less tunnel bandwidth; cast to f32 on
+  device),
+- config scalars are STATIC jit arguments (constant per run — baked
+  into the compiled program, zero per-frame scalar uploads),
+- the PRNG key lives on device: the step consumes a key and returns its
+  successor (`jax.random.split` inside the jit), so no per-frame host
+  split dispatch,
+- results return as ONE packed array; pyramids stay device-resident
+  between frames (returned as outputs, fed back as inputs).
+
+Host keeps only slot bookkeeping and the keyframe decision.
 """
 
 from __future__ import annotations
@@ -51,27 +63,83 @@ def _undistort_px(px, calib: CalibArrays, fisheye: bool, iters: int = 8):
         [calib.cx, calib.cy])
 
 
+# state-row flag bits (column 7 of the packed per-frame state)
+FLAG_VALID = 1
+FLAG_IS3D = 2
+FLAG_PAIR = 4
+
+
+def pack_track_state(px, lm_pos, kf_px_und, valid, is3d, pair_valid,
+                     T_pred, T_kf, out=None):
+    """Host-side packing of all per-frame inputs into one (N+2, 8) f32
+    buffer (single upload): rows 0..N-1 = [px(2)|lm_pos(3)|kf_px(2)|flags],
+    row N = T_pred, row N+1 = T_kf. ``out`` reuses a preallocated buffer."""
+    import numpy as np
+
+    N = len(px)
+    st = out if out is not None else np.zeros((N + 2, 8), np.float32)
+    st[:N, 0:2] = px
+    st[:N, 2:5] = lm_pos
+    st[:N, 5:7] = kf_px_und
+    st[:N, 7] = (valid * FLAG_VALID + is3d * FLAG_IS3D
+                 + pair_valid * FLAG_PAIR)
+    st[N, :7] = T_pred
+    st[N + 1, :7] = T_kf
+    return st
+
+
+@partial(jax.jit, static_argnames=("detector", "cell_size", "max_out",
+                                   "fisheye"))
+def fused_detect_describe(img, px, valid, thresh, calib: CalibArrays,
+                          detector: str = "fast", cell_size: int = 35,
+                          max_out: int = 400, fisheye: bool = False):
+    """Keyframe detection + BRIEF description + undistortion in ONE
+    dispatch (the per-KF analogue of `fused_track_step`'s transfer
+    discipline; separate eager calls cost 4+ device->host RPCs per KF).
+
+    Returns (desc (N+max_out, 8) uint32 — rows 0..N-1 describe the
+    CURRENT keypoints, rows N.. the fresh detections — and
+    packed (max_out, 6) f32 [kp(2) | und(2) | score | ok]).
+    """
+    from ..ops.brief import describe_brief
+    from ..ops.detect import detect_gftt, detect_grid_fast, \
+        detect_single_scale
+
+    img = img.astype(jnp.float32)
+    if detector == "gftt":
+        kps, scores, ok = detect_gftt(img, px, valid, thresh,
+                                      cell_size=cell_size, max_out=max_out)
+    elif detector == "single":
+        kps, scores, ok = detect_single_scale(
+            img, px, valid, thresh, cell_size=cell_size, max_out=max_out)
+    else:
+        kps, scores, ok = detect_grid_fast(
+            img, px, valid, thresh, cell_size=cell_size, max_out=max_out)
+    desc_cur, _ = describe_brief(img, px, valid)
+    desc_new, ok2 = describe_brief(img, kps, ok)
+    und_new = _undistort_px(kps, calib, fisheye)
+    packed = jnp.concatenate([
+        kps, und_new, scores[:, None],
+        (ok & ok2)[:, None].astype(jnp.float32)], axis=1)
+    return jnp.concatenate([desc_cur, desc_new], axis=0), packed
+
+
 @partial(jax.jit, static_argnames=(
     "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
-    "ransac_iters", "pnp_iters", "fisheye", "use_prior", "debug"))
+    "ransac_iters", "pnp_iters", "fisheye", "use_prior", "debug",
+    "clahe_val", "max_fbklt_dist", "klt_err", "ransac_err_px",
+    "robust_th"))
 def fused_track_step(
-    img,                     # (H, W) raw current frame
+    img,                     # (H, W) raw current frame (uint8 or f32)
     prev_pyr,                # tuple of prev-frame pyramid levels
-    px,                      # (N, 2) kp positions in prev frame
-    valid,                   # (N,) bool
-    lm_pos,                  # (N, 3) per-slot landmark positions (0 if none)
-    lm_is3d,                 # (N,) bool
-    T_pred,                  # (7,) predicted T_wc
-    T_kf,                    # (7,) reference-KF T_wc (for rot compensation)
-    kf_px_und,               # (N, 2) ref-KF undistorted px of same landmark
-    kf_pair_valid,           # (N,) bool
-    key,                     # PRNG key for RANSAC
+    state,                   # (N+2, 8) f32 packed per-frame inputs
+    key,                     # PRNG key for RANSAC (device-resident)
     calib: CalibArrays,
-    clahe_val,
-    max_fbklt_dist,
-    klt_err,
-    ransac_err_px,
-    robust_th,
+    clahe_val: float = 3.0,
+    max_fbklt_dist: float = 0.5,
+    klt_err: float = 30.0,
+    ransac_err_px: float = 3.0,
+    robust_th: float = 5.9915,
     levels: int = 4,
     win: int = 9,
     iters: int = 30,
@@ -84,16 +152,29 @@ def fused_track_step(
     use_prior: bool = True,
     debug: bool = False,
 ):
-    """Returns (cur_pyr, packed) where packed is an (N+3, 5) f32 array —
-    rows 0..N-1 hold [tracked_px(2) | und(2) | status], the 3 tail rows
-    hold pose_ok, n_pose_inliers and T_new (see packing note below).
+    """Returns (cur_pyr, packed, key_next) where packed is an (N+3, 5) f32
+    array — rows 0..N-1 hold [tracked_px(2) | und(2) | status], the 3 tail
+    rows hold pose_ok, n_pose_inliers and T_new (see packing note below).
 
     - status: track survived fb-KLT (+ epipolar gate + PnP chi2 gate for
       3D slots when enabled).
     - T_new: refined pose (T_pred when do_pose is off or failed).
     - pose_ok: >= 5 PnP inliers.
     """
-    f32 = img.dtype
+    img = img.astype(jnp.float32)
+    N = state.shape[0] - 2
+    px = state[:N, 0:2]
+    lm_pos = state[:N, 2:5]
+    kf_px_und = state[:N, 5:7]
+    flags = state[:N, 7].astype(jnp.int32)
+    valid = (flags & FLAG_VALID) > 0
+    lm_is3d = (flags & FLAG_IS3D) > 0
+    kf_pair_valid = (flags & FLAG_PAIR) > 0
+    T_pred = state[N, :7]
+    T_kf = state[N + 1, :7]
+
+    key_next, key = jax.random.split(key)
+
     im = clahe(img, clahe_val) if use_clahe else img
     cur_pyr = tuple(build_pyramid(im, levels))
 
@@ -204,5 +285,5 @@ def fused_track_step(
                          status[:, None].astype(jnp.float32)], axis=1),
         tail], axis=0)
     if debug:
-        return cur_pyr, packed, dbg
-    return cur_pyr, packed
+        return cur_pyr, packed, key_next, dbg
+    return cur_pyr, packed, key_next

@@ -22,7 +22,8 @@ from ..utils import lie_np
 from ..utils.config import SlamConfig
 from ..utils.profiler import Profiler
 from .frontend_step import CalibArrays
-from .mapper_step import fused_stereo_map_step, fused_temporal_step
+from .mapper_step import (fused_stereo_map_step, fused_temporal_step,
+                          pack_stereo_state, pack_temporal_state)
 
 
 class Mapper:
@@ -46,10 +47,13 @@ class Mapper:
                 cx=jnp.asarray(cam_r.cx, jnp.float32),
                 cy=jnp.asarray(cam_r.cy, jnp.float32),
                 dist=jnp.asarray(cam_r.dist, jnp.float32))
-            # right-in-left extrinsic as numpy
+            # right-in-left extrinsic as numpy + device-resident copies
+            # (re-uploading per call costs one tunnel RPC each)
             self.T_lr = np.array(cam_r.T_c0_ci, np.float64)
             self.E_lr = np.array(essential_from_pose(jnp.asarray(
                 self.T_lr.astype(np.float32))))
+            self._T_lr_dev = jnp.asarray(self.T_lr.astype(np.float32))
+            self._E_lr_dev = jnp.asarray(self.E_lr)
             # rectified pair? (rotation ~identity, baseline along x) —
             # enables the epipolar SAD-scan prior (`getLineMinSAD`)
             rot_angle = float(np.linalg.norm(
@@ -90,17 +94,21 @@ class Mapper:
         is3d = valid & m.lm_is3d[ids]
         lm_pos = np.where(is3d[:, None], m.lm_pos[ids], 0.0)
 
+        state = pack_stereo_state(m.obs_px[kfid], lm_pos, valid, is3d,
+                                  m.kf_poses[kfid])
+        if isinstance(right_img, np.ndarray):
+            right_up = (right_img if right_img.dtype == np.uint8 else
+                        np.clip(np.round(right_img), 0,
+                                255).astype(np.uint8))
+        else:
+            right_up = right_img
         packed = np.asarray(fused_stereo_map_step(
-            left_pyr, jnp.asarray(right_img, jnp.float32),
-            jnp.asarray(m.obs_px[kfid]), jnp.asarray(valid),
-            jnp.asarray(lm_pos.astype(np.float32)), jnp.asarray(is3d),
-            jnp.asarray(m.kf_poses[kfid]),
-            jnp.asarray(self.T_lr.astype(np.float32)),
-            jnp.asarray(self.E_lr),
+            left_pyr, jnp.asarray(right_up), jnp.asarray(state),
+            self._T_lr_dev, self._E_lr_dev,
             self._calib_l, self._calib_r,
-            jnp.float32(cfg.clahe_val), jnp.float32(cfg.klt_err),
-            jnp.float32(cfg.max_fbklt_dist),
-            jnp.float32(cfg.max_reproj_err),
+            clahe_val=float(cfg.clahe_val), klt_err=float(cfg.klt_err),
+            max_fbklt_dist=float(cfg.max_fbklt_dist),
+            max_reproj_err=float(cfg.max_reproj_err),
             levels=cfg.klt_levels, win=cfg.klt_win_size,
             iters=cfg.max_iter, use_clahe=cfg.use_clahe,
             rectified=self._rectified,
@@ -166,9 +174,8 @@ class Mapper:
         vm[rows] = True
 
         packed = np.asarray(fused_temporal_step(
-            jnp.asarray(px_a), jnp.asarray(px_c), jnp.asarray(T_a),
-            jnp.asarray(T_rel), jnp.asarray(vm), self._calib_l,
-            jnp.float32(cfg.max_reproj_err)))
+            jnp.asarray(pack_temporal_state(px_a, px_c, T_a, T_rel, vm)),
+            self._calib_l, max_reproj_err=float(cfg.max_reproj_err)))
         ok = packed[:, 3] > 0.5
         if ok.any():
             m.set_landmark_positions(
@@ -203,8 +210,7 @@ class Mapper:
         T_cw = lie_np.pose_inverse(m.kf_poses[kfid].astype(np.float64))
         pc = lie_np.pose_apply(T_cw, m.lm_pos[local].astype(np.float64))
         z = pc[:, 2]
-        fx, fy = float(self.cam_l.fx), float(self.cam_l.fy)
-        cx, cy = float(self.cam_l.cx), float(self.cam_l.cy)
+        fx, fy, cx, cy = self.cam_l.intrinsics_f
         with np.errstate(divide="ignore", invalid="ignore"):
             proj = np.stack([pc[:, 0] / z * fx + cx,
                              pc[:, 1] / z * fy + cy], -1)

@@ -41,24 +41,35 @@ def _bearing_from_und(px_und, calib: CalibArrays):
     return bv / jnp.linalg.norm(bv, axis=-1, keepdims=True)
 
 
+def pack_stereo_state(px, lm_pos, valid, is3d, T_wc, out=None):
+    """(N+1, 8) f32 single-upload state: rows 0..N-1 =
+    [px(2)|lm_pos(3)|flags|0|0], row N = T_wc."""
+    import numpy as np
+
+    N = len(px)
+    st = out if out is not None else np.zeros((N + 1, 8), np.float32)
+    st[:N, 0:2] = px
+    st[:N, 2:5] = lm_pos
+    st[:N, 5] = valid * 1.0 + is3d * 2.0
+    st[N, :7] = T_wc
+    return st
+
+
 @partial(jax.jit, static_argnames=(
-    "levels", "win", "iters", "use_clahe", "rectified", "fisheye_r"))
+    "levels", "win", "iters", "use_clahe", "rectified", "fisheye_r",
+    "clahe_val", "klt_err", "max_fbklt_dist", "max_reproj_err"))
 def fused_stereo_map_step(
     left_pyr,                # tuple of left pyramid levels
-    right_img,               # (H, W) raw right frame
-    px,                      # (N, 2) left undistorted kp positions
-    valid,                   # (N,) bool
-    lm_pos,                  # (N, 3) per-slot landmark world positions
-    lm_is3d,                 # (N,) bool
-    T_wc,                    # (7,) keyframe pose (left cam)
+    right_img,               # (H, W) raw right frame (uint8 or f32)
+    state,                   # (N+1, 8) f32 packed (pack_stereo_state)
     T_lr,                    # (7,) right-in-left extrinsic
     E_lr,                    # (3, 3) stereo essential matrix
     calib_l: CalibArrays,
     calib_r: CalibArrays,
-    clahe_val,
-    klt_err,
-    max_fbklt_dist,
-    max_reproj_err,          # px
+    clahe_val: float = 3.0,
+    klt_err: float = 30.0,
+    max_fbklt_dist: float = 0.5,
+    max_reproj_err: float = 3.0,     # px
     levels: int = 4,
     win: int = 9,
     iters: int = 30,
@@ -74,6 +85,14 @@ def fused_stereo_map_step(
     not-yet-3D stereo matches) passing depth/reprojection checks
     (`mapper.cpp:410-448`); pts_w only meaningful there.
     """
+    right_img = right_img.astype(jnp.float32)
+    N = state.shape[0] - 1
+    px = state[:N, 0:2]
+    lm_pos = state[:N, 2:5]
+    flags = state[:N, 5].astype(jnp.int32)
+    valid = (flags & 1) > 0
+    lm_is3d = (flags & 2) > 0
+    T_wc = state[N, :7]
     im = clahe(right_img, clahe_val) if use_clahe else right_img
     right_pyr = tuple(build_pyramid(im, levels))
     H, W = right_img.shape
@@ -128,15 +147,26 @@ def fused_stereo_map_step(
         cand[:, None].astype(jnp.float32)], axis=1)
 
 
-@jax.jit
+def pack_temporal_state(px_a, px_c, T_a, T_rel, valid, out=None):
+    """(N, 19) f32 single-upload state:
+    [px_a(2)|px_c(2)|T_a(7)|T_rel(7)|valid]."""
+    import numpy as np
+
+    N = len(px_a)
+    st = out if out is not None else np.zeros((N, 19), np.float32)
+    st[:, 0:2] = px_a
+    st[:, 2:4] = px_c
+    st[:, 4:11] = T_a
+    st[:, 11:18] = T_rel
+    st[:, 18] = valid
+    return st
+
+
+@partial(jax.jit, static_argnames=("max_reproj_err",))
 def fused_temporal_step(
-    px_a,                    # (N, 2) undistorted px in the anchor KF
-    px_c,                    # (N, 2) undistorted px in the current KF
-    T_a,                     # (N, 7) anchor KF poses
-    T_rel,                   # (N, 7) current-in-anchor relative poses
-    valid,                   # (N,) bool candidate mask
+    state,                   # (N, 19) f32 packed (pack_temporal_state)
     calib_l: CalibArrays,
-    max_reproj_err,
+    max_reproj_err: float = 3.0,
 ):
     """Temporal triangulation vs each landmark's anchor keyframe — ALL
     candidates in one vmapped batch with per-row poses (the reference
@@ -144,6 +174,11 @@ def fused_temporal_step(
 
     Returns packed (N, 4) f32: [pts_w(3) | ok].
     """
+    px_a = state[:, 0:2]
+    px_c = state[:, 2:4]
+    T_a = state[:, 4:11]
+    T_rel = state[:, 11:18]
+    valid = state[:, 18] > 0.5
     ba = _bearing_from_und(px_a, calib_l)
     bc = _bearing_from_und(px_c, calib_l)
     pts_a = triangulate_midpoint(T_rel, ba, bc)

@@ -214,8 +214,7 @@ class Relocalizer:
             jnp.asarray(kps[rows3d])))
         vmask[:k3] = True
 
-        fx, fy = float(self.cam.fx), float(self.cam.fy)
-        cx, cy = float(self.cam.cx), float(self.cam.cy)
+        fx, fy, cx, cy = self.cam.intrinsics_f
         bv = np.array(self.cam.bearing(jnp.asarray(px_u)))
         T_p3p, p3p_inl, n_p3p = p3p_ransac(
             self._key(), jnp.asarray(bv), jnp.asarray(pts),

@@ -273,9 +273,7 @@ class SlamManager:
         if parallax < cfg.init_parallax:
             return False
 
-        fx = float(self.cam_l.fx)
-        cx, cy = float(self.cam_l.cx), float(self.cam_l.cy)
-        fy = float(self.cam_l.fy)
+        fx, fy, cx, cy = self.cam_l.intrinsics_f
         xl = ((kf - (cx, cy)) / (fx, fy)).astype(np.float32)
         xr = ((cur - (cx, cy)) / (fx, fy)).astype(np.float32)
         n = len(pairs)

@@ -44,6 +44,22 @@ from ..utils import lie, lie_np
 from .ba import DENSE_SCHUR_MAX_KFS, BAParams, _huber_weight
 
 
+_HOST_INTR_CACHE = {}
+
+
+def _params_host_intr(params):
+    """(fx, fy, cx, cy) as host floats, one readback per BAParams object —
+    float(params.fx) is a ~30 ms device->host scalar RPC on a tunneled
+    remote chip, and this runs on the per-keyframe path."""
+    hit = _HOST_INTR_CACHE.get(id(params))
+    if hit is not None and hit[0] is params:
+        return hit[1]
+    vals = tuple(float(v) for v in np.asarray(
+        jnp.stack([params.fx, params.fy, params.cx, params.cy])))
+    _HOST_INTR_CACHE[id(params)] = (params, vals)   # pin: keeps id stable
+    return vals
+
+
 def invdepth_state(prob, params: BAParams):
     """Host-side derivation of the inverse-depth state for a BAProblem.
 
@@ -59,8 +75,7 @@ def invdepth_state(prob, params: BAParams):
     p_anch = lie_np.pose_apply(T_cw_a, prob.lm_pos.astype(np.float64))
     z = np.maximum(p_anch[:, 2], 1e-3)
     rho = (1.0 / z).astype(np.float32)
-    fx, fy = float(params.fx), float(params.fy)
-    cx, cy = float(params.cx), float(params.cy)
+    fx, fy, cx, cy = _params_host_intr(params)
     ray = np.stack([(prob.lm_anchor_px[:, 0] - cx) / fx,
                     (prob.lm_anchor_px[:, 1] - cy) / fy],
                    -1).astype(np.float32)
@@ -511,6 +526,66 @@ def ba_solve_invdepth(
     X_w, _, _ = _landmark_points(T_cw, rho, anchor_c, lm_ray)
     out_poses = lie.pose_inverse(T_cw).at[:, 4:7].add(center)
     return out_poses, X_w + center, rho, inlier, costs[-1]
+
+
+@partial(jax.jit, static_argnames=("Kw", "Lw", "O", "iters_robust",
+                                   "iters_l2"))
+def ba_invdepth_packed(flat, params: BAParams, Kw: int, Lw: int, O: int,
+                       robust_th=5.9915, iters_robust: int = 5,
+                       iters_l2: int = 3):
+    """Single-buffer transport wrapper around the two-pass solve: the
+    estimator packs ALL problem arrays into one f32 vector (one host->
+    device RPC on a tunneled remote chip instead of ~10) and reads back
+    ONE packed vector [poses(Kw*7) | pos(Lw*3) | inlier(O) | cost].
+
+    Layout of ``flat`` (all f32; indices are exact below 2^24):
+    poses Kw*7 | fixed Kw | rho Lw | anchor Lw | ray Lw*2 |
+    obs_kf O | obs_lm O | obs_px 2O | obs_cam O | obs_valid O
+    """
+    o = 0
+
+    def take(n):
+        nonlocal o
+        s = flat[o:o + n]          # static slice: o, n are Python ints
+        o += n
+        return s
+
+    poses = take(Kw * 7).reshape(Kw, 7)
+    fixed = take(Kw) > 0.5
+    rho = take(Lw)
+    anchor = take(Lw).astype(jnp.int32)
+    ray = take(Lw * 2).reshape(Lw, 2)
+    obs_kf = take(O).astype(jnp.int32)
+    obs_lm = take(O).astype(jnp.int32)
+    obs_px = take(2 * O).reshape(O, 2)
+    obs_cam = take(O).astype(jnp.int8)
+    obs_valid = take(O) > 0.5
+
+    out_poses, pos, _, inlier, cost = ba_solve_invdepth_two_pass(
+        poses, fixed, rho, anchor, ray, obs_kf, obs_lm, obs_px, obs_cam,
+        obs_valid, params, robust_th=robust_th,
+        iters_robust=iters_robust, iters_l2=iters_l2)
+    return jnp.concatenate([
+        out_poses.reshape(-1), pos.reshape(-1),
+        inlier.astype(jnp.float32), cost.reshape(1)])
+
+
+def pack_ba_invdepth(prob, rho, ray, obs_valid):
+    """Host-side packing matching ``ba_invdepth_packed``'s layout."""
+    import numpy as np
+
+    f32 = np.float32
+    return np.concatenate([
+        np.asarray(prob.kf_poses, f32).ravel(),
+        np.asarray(prob.kf_fixed, f32),
+        np.asarray(rho, f32),
+        np.asarray(prob.lm_anchor, f32),
+        np.asarray(ray, f32).ravel(),
+        np.asarray(prob.obs_kf, f32),
+        np.asarray(prob.obs_lm, f32),
+        np.asarray(prob.obs_px, f32).ravel(),
+        np.asarray(prob.obs_cam, f32),
+        np.asarray(prob.obs_valid, f32)])
 
 
 @partial(jax.jit, static_argnames=("iters_robust", "iters_l2"))

@@ -53,7 +53,11 @@ def test_long_arc_realism_ate():
     res = run_sequence(cfg, seq)
     assert res.n_processed == 300
     assert res.n_keyframes <= cfg.max_keyframes
-    assert res.ate is not None and res.ate < 0.18, res.ate
+    # gate ~1.25% of the 15 m trajectory: images now transfer as uint8
+    # (the real sensor bit depth — EuRoC/KITTI captures are 8-bit), whose
+    # quantization costs ~2 mm ATE at this quarter resolution vs the
+    # synthetic float render
+    assert res.ate is not None and res.ate < 0.19, res.ate
 
 
 @pytest.mark.slow
