@@ -204,14 +204,16 @@ class LoopCloser:
 
         # 4) loop-local-map projection matching + PnP refinement.
         # The reference's >=30-inlier gate (`loop_closer.cpp:288`) is 10%
-        # of its ~300-kp budget with a local map of similar visible size;
-        # after keyframe/landmark culling the candidate's local map can
-        # be much thinner, so the gate is ALSO bounded by what is
-        # achievable: 35% of the in-view local map, floor 10.
+        # of its ~300-kp budget. A pure budget-scaled absolute count is
+        # NOT safe at low budgets: a false/inaccurate pose can scrape
+        # together ~10 wide-radius matches out of 70 in-view landmarks,
+        # and an accepted bad closure merges wrong landmarks and poisons
+        # every later closure's local map. Gate on the FRACTION of the
+        # in-view local map the pose explains (floor 12, capped at 60 so
+        # dense maps aren't asked for hundreds of matches).
         T_loop, n_inliers, extra, n_in_view = self._track_loop_local_map(
             kfid, cand, np.array(T_p3p))
-        pnp_gate = max(10, min(int(round(budget * 30 / 300)),
-                               int(round(0.35 * n_in_view))))
+        pnp_gate = max(12, min(60, int(round(0.3 * n_in_view))))
         if n_inliers < pnp_gate:
             return False
 
@@ -229,11 +231,20 @@ class LoopCloser:
         extra_matches [(cur_slot, lmid)], n_in_view)."""
         cfg = self.cfg
         m = self.map
-        # local map: 3D landmarks of the candidate and its covisible KFs
+        # local map: 3D landmarks of the candidate and its covisible KFs.
+        # Covisible neighbors are restricted to the candidate's temporal
+        # era: after a previous closure's merges, covisibility links the
+        # loop KF to revisit-era KFs whose landmarks carry the very drift
+        # being corrected — mixing them in biases the PnP toward the
+        # drifted solution. (Pre-merge, the reference's covisibility graph
+        # has the same old-era-only structure implicitly.)
+        seq_cand = int(m.kf_seq[cand])
+        era = max(10, 2 * self.index.recent_mask)
         local = set(int(l) for l in m.kf_landmark_ids(cand, only_3d=True))
-        for k in m.covisible_kfs(cand, min_score=1, max_n=12):
-            local |= set(int(l) for l in m.kf_landmark_ids(int(k),
-                                                           only_3d=True))
+        for k in m.covisible_kfs(cand, min_score=1, max_n=24):
+            if abs(int(m.kf_seq[int(k)]) - seq_cand) <= era:
+                local |= set(int(l) for l in m.kf_landmark_ids(
+                    int(k), only_3d=True))
         local = np.asarray(sorted(local), np.int32)
         if len(local) == 0:
             return T_init, 0, [], 0
@@ -281,12 +292,20 @@ class LoopCloser:
             proj_p[:L] = prj
             pv[:L] = True
             pdesc[:L] = m.lm_desc[loc]
+            # LC-specific descriptor gate: across a revisit the same
+            # landmark's descriptor drifts far more than across adjacent
+            # frames (independent sensor noise + subpixel re-detection
+            # offsets — measured ~80/256 bits on synthetic revisits), so
+            # the tracking-time fmax_desc_dist gate starves the match.
+            # The reference's LC matching also relaxes to <=50% bit
+            # distance (`loop_closer.cpp:426-448`); geometric outliers
+            # are killed by the staged radius + robust PnP.
             idx, _ = projection_match(
                 jnp.asarray(proj_p), jnp.asarray(pv), jnp.asarray(pdesc),
                 jnp.asarray(all_px), jnp.asarray(all_valid),
                 jnp.asarray(all_desc),
                 max_px_dist=radius,
-                max_dist_bits=int(cfg.max_desc_dist * 256))
+                max_dist_bits=128)
             idx = np.array(idx)[:L]
             return [(int(idx[i]), int(loc[i])) for i in range(L)
                     if idx[i] >= 0]
@@ -308,19 +327,32 @@ class LoopCloser:
             return (np.array(T_ref, np.float64),
                     [pairs[i] for i in np.nonzero(inlier)[0]])
 
-        # two rounds, coarse -> fine: the P3P pose can be tens of px off
-        # at loop scale, so round 1 matches wide and refines; round 2
-        # re-projects at the refined pose and re-matches tight (the
-        # reference's trackLoopLocalMap does the same staged matching,
-        # `loop_closer.cpp:502-763`)
+        # staged coarse -> fine match/refine rounds (the reference's
+        # trackLoopLocalMap staged matching, `loop_closer.cpp:502-763`).
+        # The P3P init is often translation-degenerate: knn matches favor
+        # distant (viewpoint-robust) landmarks, which constrain rotation
+        # but leave metres of translation slack — so projections of NEAR
+        # landmarks can be 40+ px off at the init. Round 1 therefore
+        # matches wide; each robust PnP then pulls translation in using
+        # the near points the wider radius captured, and later rounds
+        # tighten the radius around the improving pose.
         n_in_view = [0]
-        pairs = match_round(T_init, max(20.0, 4 * cfg.max_proj_pxdist))
-        if len(pairs) < pair_gate:
+        radii = (max(40.0, 8 * cfg.max_proj_pxdist),
+                 max(16.0, 3 * cfg.max_proj_pxdist),
+                 max(8.0, 1.5 * cfg.max_proj_pxdist))
+        T_ref, good = T_init, []
+        for r, radius in enumerate(radii):
+            pairs = match_round(T_ref, radius)
+            if len(pairs) < pair_gate:
+                if r == 0:
+                    return T_init, 0, [], n_in_view[0]
+                break
+            T_new, good_new = pnp(T_ref, pairs)
+            if len(good_new) < max(len(good) // 2, pair_gate // 2):
+                break    # diverging: keep the previous round's result
+            T_ref, good = T_new, good_new
+        if not good:
             return T_init, 0, [], n_in_view[0]
-        T_ref, good = pnp(T_init, pairs)
-        pairs2 = match_round(T_ref, max(10.0, 2 * cfg.max_proj_pxdist))
-        if len(pairs2) >= max(len(good), pair_gate):
-            T_ref, good = pnp(T_ref, pairs2)
         # only tracked-kp matches (slot < max_kps) may merge landmarks
         mergeable = [p for p in good if p[0] < N0]
         return T_ref, len(good), mergeable, n_in_view[0]

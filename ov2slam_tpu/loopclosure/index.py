@@ -37,6 +37,16 @@ def _set_rows(desc_cube, valid_cube, i, d_row, v_row):
     return (desc_cube.at[i].set(d_row), valid_cube.at[i].set(v_row))
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _set_rows_bits(bits_cube, valid_cube, i, d_row, v_row):
+    """TPU variant: unpack the packed uint32 row to ±1 bf16 on device and
+    write it into the persistent bit cube (donated, in place)."""
+    from ..ops.pallas_hamming import unpack_pm1
+
+    return (bits_cube.at[i].set(unpack_pm1(d_row, v_row)),
+            valid_cube.at[i].set(v_row))
+
+
 @partial(jax.jit, static_argnames=())
 def _match_scores(store_desc, store_valid, q_desc, q_valid, match_bits):
     """Scores of a query against all stored KFs.
@@ -146,15 +156,26 @@ class PlaceIndex:
 
     def _device_store(self):
         """Device copies of the store, updated incrementally: only rows
-        added since the last query are transferred."""
+        added since the last query are transferred. On TPU the store is
+        kept as a pre-unpacked ±1 bf16 cube so each query is a pure MXU
+        matmul (`ops/pallas_hamming.py`); off-TPU the packed uint32 cube
+        feeds the XLA XOR+popcount path."""
+        on_tpu = jax.default_backend() == "tpu"
         if self._dev_desc is None or len(self.kf_ids) - self._n_dev > 32:
-            self._dev_desc = jnp.asarray(self._desc)
+            if on_tpu:
+                from ..ops.pallas_hamming import unpack_pm1
+
+                self._dev_desc = jax.jit(unpack_pm1)(
+                    jnp.asarray(self._desc), jnp.asarray(self._valid))
+            else:
+                self._dev_desc = jnp.asarray(self._desc)
             self._dev_valid = jnp.asarray(self._valid)
             self._n_dev = len(self.kf_ids)
         else:
+            set_rows = _set_rows_bits if on_tpu else _set_rows
             while self._n_dev < len(self.kf_ids):
                 i = self._n_dev
-                self._dev_desc, self._dev_valid = _set_rows(
+                self._dev_desc, self._dev_valid = set_rows(
                     self._dev_desc, self._dev_valid, jnp.int32(i),
                     jnp.asarray(self._desc[i]),
                     jnp.asarray(self._valid[i]))
@@ -165,12 +186,13 @@ class PlaceIndex:
                     usable: int) -> np.ndarray:
         dev_desc, dev_valid = self._device_store()
         if jax.default_backend() == "tpu":
-            # Pallas kernel: VMEM-resident scoring, no HBM XOR cube
-            from ..ops.pallas_hamming import match_scores_pallas
+            # MXU kernel: Hamming-as-matmul with fused min reduction
+            from ..ops.pallas_hamming import match_scores_bits, unpack_pm1
 
-            return np.array(match_scores_pallas(
-                dev_desc, dev_valid,
-                jnp.asarray(desc), jnp.asarray(valid),
+            q_bits = jax.jit(unpack_pm1)(jnp.asarray(desc),
+                                         jnp.asarray(valid))
+            return np.array(match_scores_bits(
+                dev_desc, dev_valid, q_bits, jnp.asarray(valid),
                 self.match_bits))[:usable]
         return np.array(_match_scores(
             dev_desc, dev_valid,
@@ -220,7 +242,15 @@ class PlaceIndex:
         # usually lights up one), apply a prior boost to the island
         # consistent with the previous query, and require two consecutive
         # consistent hits before emitting.
-        above = np.nonzero(scores >= self.min_score)[0]
+        #
+        # Consistency is TRACKED at half the emission threshold: a true
+        # revisit's scores ramp up over several keyframes (approach
+        # geometry), and gating the tracker at the full threshold would
+        # throw away that history — the first full-threshold hit then
+        # finds no prior island and a short revisit window (a closing
+        # circle) ends before a second one arrives. Emission still
+        # requires min_score AND a consistent previous island.
+        above = np.nonzero(scores >= 0.5 * self.min_score)[0]
         if len(above) == 0:
             self._last_candidate = None
             return -1, 0.0
@@ -249,7 +279,7 @@ class PlaceIndex:
             <= 2 * self.island_radius
         )
         self._last_candidate = island_center
-        if not consistent:
+        if not consistent or best_score < self.min_score:
             return -1, 0.0
         return self.kf_ids[island_center], best_score
 

@@ -121,11 +121,6 @@ class FrontEnd:
             cy=jnp.asarray(cam_l.cy, jnp.float32),
             dist=jnp.asarray(cam_l.dist, jnp.float32))
         self._fisheye = cam_l.model == "fisheye"
-        # fixed-shape jitted undistortion over the full slot array: calling
-        # cam.undistort_px on a fancy-indexed subset recompiles (and pays
-        # eager per-op dispatch) for every distinct new-detection count —
-        # ~2 s per keyframe on a remote-attached device
-        self._undist_all = jax.jit(cam_l.undistort_px)
         # transfer discipline: ONE packed upload per frame (preallocated
         # host buffer) + a device-resident PRNG key chain (the fused step
         # returns its successor key — no per-frame host split dispatch)
@@ -216,7 +211,11 @@ class FrontEnd:
                                  out=self._state_buf)
         if isinstance(img, np.ndarray):
             # uint8 upload: 4x less tunnel bandwidth; real sensors are
-            # 8-bit so the cast is lossless for dataset replay
+            # 8-bit so the cast is lossless for dataset replay. Inputs
+            # must be in [0, 255]; a normalized [0, 1] float image would
+            # silently collapse to {0, 1}, so rescale that case.
+            if img.dtype != np.uint8 and img.size and float(img.max()) <= 1.5:
+                img = img * 255.0
             img_u8 = (img if img.dtype == np.uint8
                       else np.clip(np.round(img), 0, 255).astype(np.uint8))
         else:

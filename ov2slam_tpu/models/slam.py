@@ -184,6 +184,8 @@ class SlamManager:
         if is_kf and not starved:
             kfid = self._create_keyframe(time, img_right)
             fe.frame.kf_id = kfid
+            if kfid < 0:          # featureless re-bootstrap vetoed
+                is_kf = False
         if starved:
             # beyond-reference: try map-preserving relocalization via the
             # place-recognition index before falling back to the
@@ -217,6 +219,17 @@ class SlamManager:
         f = fe.frame
 
         new_rows, desc = fe.detect_and_describe()
+        if fe.bootstrap_kf and self.map.n_keyframes >= 1:
+            # featureless re-bootstrap veto: after a tracking-loss reset a
+            # blank/textureless frame yields (near-)zero detections — a
+            # keyframe built on it seeds nothing and permanently pollutes
+            # the kept map. Stay lost instead; the relocalizer (or a
+            # later textured frame's re-bootstrap) recovers.
+            if len(new_rows) < 8:
+                f.valid[:] = False
+                f.lmids[:] = -1
+                f.kf_id = -1
+                return -1
         # new keypoints get fresh 2D landmarks; at capacity, drop surplus
         # detections instead of aborting
         n_alloc = min(len(new_rows), self.map.free_landmark_capacity)

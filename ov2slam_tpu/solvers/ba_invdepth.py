@@ -56,6 +56,9 @@ def _params_host_intr(params):
         return hit[1]
     vals = tuple(float(v) for v in np.asarray(
         jnp.stack([params.fx, params.fy, params.cx, params.cy])))
+    # size-1 cache: one BAParams normally exists per run; clearing rather
+    # than accumulating keeps per-solve rebuilt params from pinning memory
+    _HOST_INTR_CACHE.clear()
     _HOST_INTR_CACHE[id(params)] = (params, vals)   # pin: keeps id stable
     return vals
 
@@ -585,7 +588,7 @@ def pack_ba_invdepth(prob, rho, ray, obs_valid):
         np.asarray(prob.obs_lm, f32),
         np.asarray(prob.obs_px, f32).ravel(),
         np.asarray(prob.obs_cam, f32),
-        np.asarray(prob.obs_valid, f32)])
+        np.asarray(obs_valid, f32)])
 
 
 @partial(jax.jit, static_argnames=("iters_robust", "iters_l2"))
