@@ -95,11 +95,16 @@ class Estimator:
             Lw = len(prob.lm_ids)
             O = len(prob.obs_kf)
             flat = pack_ba_invdepth(prob, rho, ray, obs_valid)
-            out = np.asarray(ba_invdepth_packed(
+            out_dev = ba_invdepth_packed(
                 jnp.asarray(flat), self.params, Kw=Kw, Lw=Lw, O=O,
                 robust_th=float(cfg.robust_mono_th),
                 iters_robust=cfg.ba_iters,
-                iters_l2=3 if cfg.apply_l2_after_robust else 0))
+                iters_l2=3 if cfg.apply_l2_after_robust else 0)
+            try:   # async transfer hint (see mapper.stereo_map)
+                out_dev.copy_to_host_async()
+            except Exception:
+                pass
+            out = np.asarray(out_dev)
             poses = out[:Kw * 7].reshape(Kw, 7)
             points = out[Kw * 7:Kw * 7 + Lw * 3].reshape(Lw, 3)
             inlier = out[Kw * 7 + Lw * 3:Kw * 7 + Lw * 3 + O] > 0.5
@@ -117,9 +122,17 @@ class Estimator:
         inlier = np.array(inlier)
         # landmark culling: drop landmarks whose observations are mostly
         # outliers (`optimizer.cpp:805-882`) — vectorized per-landmark
-        # inlier/total counts via bincount
+        # inlier/total counts via bincount.
+        # vv must be the SAME validity the solver saw: in the invdepth
+        # branch that is the anchor-masked set from invdepth_state —
+        # anchorless observations never entered the solve, come back with
+        # inlier=False, and counting them against prob.obs_valid would
+        # remove every one of them from the map as a "chi2 outlier"
+        # (observed as total 3D-landmark die-off in async runs whose
+        # shifting windows orphan many anchors).
         Lw = len(prob.lm_ids)
-        vv = prob.obs_valid
+        vv = (np.asarray(obs_valid, bool) if cfg.use_inv_depth
+              else prob.obs_valid)
         tot = np.bincount(prob.obs_lm[vv], minlength=Lw)[:Lw]
         good = np.bincount(prob.obs_lm[vv & inlier], minlength=Lw)[:Lw]
         lm_ok = (prob.lm_ids < 0) | (tot == 0) | (

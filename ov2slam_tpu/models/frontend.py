@@ -126,6 +126,26 @@ class FrontEnd:
         # returns its successor key — no per-frame host split dispatch)
         self._state_buf = np.zeros((cfg.max_kps + 2, 8), np.float32)
         self._key_dev = jax.random.PRNGKey(0)
+        # in-flight frame records for the pipelined dispatch/resolve
+        # split (FIFO; sync mode keeps it at length <= 1)
+        import collections
+
+        self._pendings = collections.deque()
+        # slot-birth bookkeeping: a pending dispatched BEFORE a slot was
+        # (re)detected carries no information about it — its resolve must
+        # not touch that slot (depth>=2 keeps several frames in flight
+        # across keyframe insertions)
+        self._dispatch_seq = 0
+        self._slot_birth = np.zeros(cfg.max_kps, np.int64)
+        # device-chained recurrence state (pipeline_depth >= 2): the
+        # packed chain array + the latest dispatched frame's pyramid
+        self._chain_S = None
+        self._chain_pyr = None
+        self._chain_patch = None     # (rows, px, und) new-KF-slot scatter
+        self._chain_last_time = None
+        self._chain_dt = 0.0
+        self._lm_buf = np.zeros((cfg.max_kps + 1, 8), np.float32)
+        self._chain_buf = np.zeros((cfg.max_kps + 2, 8), np.float32)
 
     # ------------------------------------------------------------------ #
 
@@ -149,13 +169,49 @@ class FrontEnd:
         a keyframe (`visualTracking`/`trackMono`,
         `visual_front_end.cpp:40-128`).
 
-        The whole per-frame device computation (CLAHE+pyramid, prior
-        projection, fb-KLT, undistortion, epipolar gate, PnP) is ONE
-        fused dispatch (`frontend_step.fused_track_step`)."""
+        Synchronous path: dispatch + immediate resolve. The pipelined
+        manager instead calls :meth:`dispatch_frame` /
+        :meth:`resolve_pending` separately so the device→host readback of
+        frame i overlaps everything up to frame i+1's dispatch (the
+        readback RTT — ~30 ms on a tunneled remote chip — is the
+        measured e2e throughput limiter, `0.FE_readback` profile)."""
+        self.prof.start("0.Full-Front_End")
+        pend = self.dispatch_frame(img, time)
+        if pend is None:             # bootstrap path resolved inline
+            self.prof.stop("0.Full-Front_End")
+            return True
+        is_kf = self.resolve_pending()
+        self.prof.stop("0.Full-Front_End")
+        return is_kf
+
+    @property
+    def has_pending(self) -> bool:
+        return len(self._pendings) > 0
+
+    @property
+    def n_pending(self) -> int:
+        return len(self._pendings)
+
+    def wait_pending(self):
+        """Force the OLDEST in-flight frame's device→host transfer to
+        complete WITHOUT applying it (so the blocking wait can happen
+        outside any map lock — the transfer touches no shared state)."""
+        if self._pendings:
+            p = self._pendings[0]
+            if not isinstance(p["packed"], np.ndarray):
+                p["packed"] = np.asarray(p["packed"])
+
+    def dispatch_frame(self, img: np.ndarray, time: float):
+        """Upload + dispatch the fused step for one frame WITHOUT reading
+        the result back. Returns the pending record (resolved later by
+        :meth:`resolve_pending`), or None when the frame took the inline
+        bootstrap path (caller must treat it as an immediate KF request).
+
+        With ``pipeline_depth >= 2`` the dispatch rides the device-chained
+        recurrence (host slot state may trail by several frames); at
+        depth 1 it requires the previous frame to be resolved."""
         cfg = self.cfg
         f = self.frame
-        self.prof.start("0.Full-Front_End")
-        f.time = time
 
         self.bootstrap_kf = False
         if self.map.n_keyframes == 0 or (f.kf_id < 0 and f.n_valid == 0):
@@ -165,14 +221,19 @@ class FrontEnd:
             # keyframe from the starvation veto — it has zero tracks BY
             # CONSTRUCTION (detection happens inside keyframe creation),
             # and vetoing it would deadlock recovery in a reset loop.
+            f.time = time
             self.bootstrap_kf = True
             self.preprocess(img)
             if self.map.n_keyframes == 0:
                 f.T_wc = lie_np.pose_identity().astype(np.float32)
             self.motion.update(f.T_wc.astype(np.float64), time)
-            self.prof.stop("0.Full-Front_End")
             self._frames_since_kf = 0
-            return True
+            return None
+
+        if (cfg.pipelined_frontend and cfg.pipeline_depth >= 2
+                and self.initialized
+                and not getattr(self, "debug_gates", False)):
+            return self._dispatch_chained(img, time)
 
         self.prof.start("0.FE_pre")
         T_pred = self.motion.predict(time)
@@ -242,10 +303,177 @@ class FrontEnd:
 
         self.prev_pyr = self.cur_pyr
         self.cur_pyr = cur_pyr
+        try:
+            packed.copy_to_host_async()   # overlap transfer with host work
+        except Exception:
+            pass                          # backend without async copy
+        self._dispatch_seq += 1
+        pend = dict(packed=packed, time=time, T_pred=T_pred,
+                    do_pose=do_pose, is3d=is3d, pyr=None,
+                    seq=self._dispatch_seq)
+        self._pendings.append(pend)
         self.prof.stop("0.FE_dispatch")
-        # single packed readback (one RPC on a remote-attached device)
+        return pend
+
+    # ------------------------------------------------------------------ #
+    # device-chained dispatch (pipeline_depth >= 2)
+    # ------------------------------------------------------------------ #
+
+    def _gather_lm_static(self):
+        """Per-slot map view for the chained step (host gather; uploaded
+        async every dispatch so BA updates / 2D→3D promotions / culls
+        reach the device recurrence within one frame)."""
+        f = self.frame
+        m = self.map
+        ids = np.maximum(f.lmids, 0)
+        live = (f.lmids >= 0) & m.lm_valid[ids]
+        is3d = live & m.lm_is3d[ids]
+        lm_pos = np.where(is3d[:, None], m.lm_pos[ids], 0.0)
+        kf_px = np.zeros_like(f.px_und)
+        pair_valid = np.zeros(len(f.px), bool)
+        kfid = f.kf_id
+        T_kf = f.T_wc.astype(np.float64)
+        if kfid >= 0 and m.kf_valid[kfid]:
+            T_kf = m.kf_poses[kfid].astype(np.float64)
+            lookup = np.full(m.L, -1, np.int32)
+            kf_lm = m.obs_lmid[kfid]
+            sel = kf_lm >= 0
+            lookup[kf_lm[sel]] = np.nonzero(sel)[0]
+            slot_in_kf = lookup[ids]
+            pair_valid = live & (slot_in_kf >= 0)
+            kf_px[pair_valid] = m.obs_px[kfid, slot_in_kf[pair_valid]]
+        from .frontend_step import pack_lm_static
+
+        st = pack_lm_static(lm_pos, kf_px, live, is3d, pair_valid,
+                            T_kf.astype(np.float32), out=self._lm_buf)
+        return st, is3d
+
+    def _dispatch_chained(self, img, time: float):
+        """One chained dispatch: the recurrent tracking state stays on
+        device (`fused_track_step_chained`); the host ships only the
+        image, the refreshed per-slot map view, and occasional new-slot
+        patches — and reads results ``pipeline_depth`` frames late."""
+        from .frontend_step import (fused_track_step_chained,
+                                    pack_chain_state, patch_chain_rows)
+
+        cfg = self.cfg
+        f = self.frame
+        self.prof.start("0.FE_dispatch")
+        lm_host, is3d = self._gather_lm_static()
+        lm_dev = jnp.asarray(lm_host)
+
+        if self._chain_S is None:
+            # seed from the resolved host state; T_prev reconstructed
+            # from the motion model's last relative step
+            T_cur = f.T_wc.astype(np.float64)
+            T_prev = lie_np.pose_compose(
+                T_cur, lie_np.pose_inverse(self.motion.rel))
+            st = pack_chain_state(
+                f.px, f.px_und, f.valid.astype(np.float32),
+                T_cur.astype(np.float32), T_prev.astype(np.float32),
+                out=self._chain_buf)
+            self._chain_S = jnp.asarray(st)
+            self._chain_pyr = self.cur_pyr
+        elif self._chain_patch is not None:
+            rows, ppx, pund = self._chain_patch
+            if len(rows):
+                N = cfg.max_kps   # fixed-shape scatter (see patch op)
+                rows_p = np.full(N, 1 << 20, np.int32)  # OOB -> dropped
+                px_p = np.zeros((N, 2), np.float32)
+                und_p = np.zeros((N, 2), np.float32)
+                st_p = np.zeros(N, np.float32)
+                rows_p[:len(rows)] = rows
+                px_p[:len(rows)] = ppx
+                und_p[:len(rows)] = pund
+                st_p[:len(rows)] = 1.0
+                self._chain_S = patch_chain_rows(
+                    self._chain_S, jnp.asarray(rows_p),
+                    jnp.asarray(px_p), jnp.asarray(und_p),
+                    jnp.asarray(st_p))
+        self._chain_patch = None
+
+        if isinstance(img, np.ndarray):
+            if img.dtype != np.uint8 and img.size \
+                    and float(img.max()) <= 1.5:
+                img = img * 255.0
+            img_u8 = (img if img.dtype == np.uint8
+                      else np.clip(np.round(img), 0, 255).astype(np.uint8))
+        else:
+            img_u8 = img
+        # dt ratio vs the previous dispatch interval (frame drops /
+        # uneven arrival): scales the device prior
+        dt = time - self._chain_last_time if self._chain_last_time else 0.0
+        ratio = 1.0
+        if self._chain_dt > 0 and dt > 0:
+            ratio = float(np.clip(dt / self._chain_dt, 0.2, 6.0))
+        if dt > 0:
+            self._chain_dt = dt
+        self._chain_last_time = time
+        cur_pyr, S_out, packed, self._key_dev = fused_track_step_chained(
+            jnp.asarray(img_u8), self._chain_pyr, self._chain_S, lm_dev,
+            jnp.asarray([ratio], jnp.float32),
+            self._key_dev, self._calib,
+            clahe_val=float(cfg.clahe_val),
+            max_fbklt_dist=float(cfg.max_fbklt_dist),
+            klt_err=float(cfg.klt_err),
+            ransac_err_px=float(cfg.ransac_err),
+            robust_th=float(cfg.robust_mono_th),
+            levels=cfg.klt_levels, win=cfg.klt_win_size,
+            iters=cfg.max_iter, use_clahe=cfg.use_clahe,
+            do_epipolar=cfg.do_epipolar, do_pose=True,
+            ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
+            fisheye=self._fisheye, use_prior=cfg.klt_use_prior)
+        self._chain_S = S_out
+        self._chain_pyr = cur_pyr
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._dispatch_seq += 1
+        pend = dict(packed=packed, time=time, T_pred=None,
+                    do_pose=True, is3d=is3d, pyr=cur_pyr,
+                    seq=self._dispatch_seq)
+        self._pendings.append(pend)
+        self.prof.stop("0.FE_dispatch")
+        return pend
+
+    def chain_apply_correction(self, T_old: np.ndarray, T_new: np.ndarray):
+        """Propagate a map-side pose correction (BA/pose-graph snapped the
+        resolved frame from T_old to T_new) into the in-flight device
+        recurrence: left-compose the world-frame delta onto its poses."""
+        if self._chain_S is None:
+            return
+        from .frontend_step import patch_chain_pose_delta
+
+        delta = lie_np.pose_compose(
+            T_new.astype(np.float64),
+            lie_np.pose_inverse(T_old.astype(np.float64)))
+        self._chain_S = patch_chain_pose_delta(
+            self._chain_S, jnp.asarray(delta.astype(np.float32)))
+
+    def resolve_pending(self) -> bool:
+        """Read back and apply the OLDEST in-flight frame's result:
+        slot/pose update, motion model, P3P fallback, keyframe decision.
+        Returns the keyframe request for THAT frame."""
+        cfg = self.cfg
+        f = self.frame
+        p = self._pendings.popleft()
+        time = p["time"]
+        do_pose = p["do_pose"]
+        is3d = p["is3d"]
+        f.time = time
+        if p["pyr"] is not None:      # chained: expose this frame's
+            self.prev_pyr = self.cur_pyr   # pyramid to the KF path
+            self.cur_pyr = p["pyr"]
+        T_pred = p["T_pred"]
+        if T_pred is None:            # chained: prior was computed on
+            T_pred = self.motion.predict(time)   # device; reconstruct
+            if T_pred is None:
+                T_pred = f.T_wc.astype(np.float64)
+        # single packed readback (one RPC on a remote-attached device);
+        # in pipelined mode the transfer has been in flight since dispatch
         self.prof.start("0.FE_readback")
-        packed = np.asarray(packed)
+        packed = np.asarray(p["packed"])
         self.prof.stop("0.FE_readback")
         N = len(f.px)
         tracked = packed[:N, 0:2]
@@ -255,9 +483,13 @@ class FrontEnd:
         n_inl = int(packed[N, 1])
         T_new = np.concatenate([packed[N + 1, :5], packed[N + 2, :2]])
         n_before = int(f.valid.sum())
-        f.px = np.where(status[:, None], tracked, f.px)
-        f.px_und = np.where(status[:, None], und, f.px_und)
-        f.valid &= status
+        # slots born after this frame was dispatched carry no signal in
+        # its output — leave them untouched (they join at a later seq)
+        known = self._slot_birth <= p["seq"]
+        upd = status & known
+        f.px = np.where(upd[:, None], tracked, f.px)
+        f.px_und = np.where(upd[:, None], und, f.px_und)
+        f.valid &= status | ~known
 
         self.last_pose_ok = bool(pose_ok) if do_pose else None
         self.last_n_inl = int(n_inl) if do_pose else 0
@@ -289,7 +521,6 @@ class FrontEnd:
         self.prof.start("0.FE_kfcheck")
         is_kf = self.check_new_kf()
         self.prof.stop("0.FE_kfcheck")
-        self.prof.stop("0.Full-Front_End")
         if is_kf:
             self._frames_since_kf = 0
         return is_kf
@@ -451,6 +682,11 @@ class FrontEnd:
             float(thresh), self._calib, detector=detector,
             cell_size=cfg.max_dist, max_out=cfg.max_kps,
             fisheye=self._fisheye)
+        try:   # start both transfers before blocking: one RTT, not two
+            desc_all.copy_to_host_async()
+            det_packed.copy_to_host_async()
+        except Exception:
+            pass
         desc_all = np.asarray(desc_all)
         det_packed = np.asarray(det_packed)
         N = len(f.px)
@@ -491,6 +727,15 @@ class FrontEnd:
             desc[slot] = desc_all[N + i]
             new_rows.append(slot)
         new_rows = np.array(new_rows, np.int64)
+        if len(new_rows):
+            # chain bookkeeping: these slots exist only from the NEXT
+            # dispatch on (device recurrence patched then; older
+            # in-flight resolves must not touch them)
+            self._slot_birth[new_rows] = self._dispatch_seq + 1
+            if self._chain_S is not None:
+                self._chain_patch = (new_rows.copy(),
+                                     f.px[new_rows].copy(),
+                                     f.px_und[new_rows].copy())
         self.prof.stop("1.KF_DetectDescribe")
         return new_rows, desc
 
@@ -503,4 +748,11 @@ class FrontEnd:
         self.motion.reset()
         self.prev_pyr = None
         self.cur_pyr = None
+        self._pendings.clear()
+        self._chain_S = None
+        self._chain_pyr = None
+        self._chain_patch = None
+        self._chain_last_time = None
+        self._chain_dt = 0.0
+        self._slot_birth[:] = 0
         self.initialized = self.cfg.stereo

@@ -161,7 +161,6 @@ def fused_track_step(
     - T_new: refined pose (T_pred when do_pose is off or failed).
     - pose_ok: >= 5 PnP inliers.
     """
-    img = img.astype(jnp.float32)
     N = state.shape[0] - 2
     px = state[:N, 0:2]
     lm_pos = state[:N, 2:5]
@@ -172,7 +171,26 @@ def fused_track_step(
     kf_pair_valid = (flags & FLAG_PAIR) > 0
     T_pred = state[N, :7]
     T_kf = state[N + 1, :7]
+    return _track_body(
+        img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
+        kf_pair_valid, T_pred, T_kf, key, calib,
+        clahe_val=clahe_val, max_fbklt_dist=max_fbklt_dist,
+        klt_err=klt_err, ransac_err_px=ransac_err_px, robust_th=robust_th,
+        levels=levels, win=win, iters=iters, use_clahe=use_clahe,
+        do_epipolar=do_epipolar, do_pose=do_pose,
+        ransac_iters=ransac_iters, pnp_iters=pnp_iters, fisheye=fisheye,
+        use_prior=use_prior, debug=debug)
 
+
+def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
+                kf_pair_valid, T_pred, T_kf, key, calib: CalibArrays, *,
+                clahe_val, max_fbklt_dist, klt_err, ransac_err_px,
+                robust_th, levels, win, iters, use_clahe, do_epipolar,
+                do_pose, ransac_iters, pnp_iters, fisheye, use_prior,
+                debug):
+    """Shared per-frame device computation (traced inside both the
+    host-packed and the device-chained entry points)."""
+    img = img.astype(jnp.float32)
     key_next, key = jax.random.split(key)
 
     im = clahe(img, clahe_val) if use_clahe else img
@@ -287,3 +305,167 @@ def fused_track_step(
     if debug:
         return cur_pyr, packed, key_next, dbg
     return cur_pyr, packed, key_next
+
+
+# --------------------------------------------------------------------- #
+# device-chained tracking: zero blocking host round-trips per frame
+# --------------------------------------------------------------------- #
+#
+# The host-packed entry point above needs the PREVIOUS frame's result on
+# the host before it can build the next frame's input — which forces one
+# blocking device→host read per frame (a ~30 ms floor on a tunneled
+# remote chip; the measured e2e throughput limiter). The chained variant
+# keeps the whole recurrent state ON DEVICE:
+#
+#   S (N+2, 8) f32:  rows 0..N-1 [px(2) | und(2) | status | 0 0 0]
+#                    row N   = T_cur  (this frame's pose)
+#                    row N+1 = T_prev (previous frame's pose)
+#   lm_static (N+1, 8) f32: rows 0..N-1 [lm_pos(3) | kf_px_und(2) | flags]
+#                    row N = T_kf
+#
+# and computes the constant-velocity prior on device
+# (`MotionModel::applyMotionModel`, `visual_front_end.hpp:43-58`, with
+# dt/rel_dt = 1 — dataset frame intervals are uniform to ~ms):
+#
+#   T_pred = T_cur ∘ (T_prev⁻¹ ∘ T_cur)
+#
+# The host receives the same packed view as the sync path, but reads it
+# ONE FRAME LATE, overlapped with the next frame's dispatch
+# (`copy_to_host_async`). `lm_static` is refreshed by a cheap async
+# upload whenever the map changes (BA write-back, 2D→3D promotion,
+# culling) — chain staleness is bounded by one frame.
+
+def pack_lm_static(lm_pos, kf_px_und, valid, is3d, pair_valid, T_kf,
+                   out=None):
+    """Host-side packing of the slow-changing per-slot map view."""
+    import numpy as np
+
+    N = len(lm_pos)
+    st = out if out is not None else np.zeros((N + 1, 8), np.float32)
+    st[:N, 0:3] = lm_pos
+    st[:N, 3:5] = kf_px_und
+    st[:N, 5] = (valid * FLAG_VALID + is3d * FLAG_IS3D
+                 + pair_valid * FLAG_PAIR)
+    st[N, :7] = T_kf
+    return st
+
+
+def pack_chain_state(px, px_und, status, T_cur, T_prev, out=None):
+    """Host-side packing of the recurrent chain state (used to seed or
+    re-seed the chain after keyframes / fallbacks)."""
+    import numpy as np
+
+    N = len(px)
+    st = out if out is not None else np.zeros((N + 2, 8), np.float32)
+    st[:N, 0:2] = px
+    st[:N, 2:4] = px_und
+    st[:N, 4] = status
+    st[N, :7] = T_cur
+    st[N + 1, :7] = T_prev
+    return st
+
+
+@partial(jax.jit, static_argnames=(
+    "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
+    "ransac_iters", "pnp_iters", "fisheye", "use_prior",
+    "clahe_val", "max_fbklt_dist", "klt_err", "ransac_err_px",
+    "robust_th"))
+def fused_track_step_chained(
+    img, prev_pyr, S_prev, lm_static, dt_ratio, key,
+    calib: CalibArrays,
+    clahe_val: float = 3.0,
+    max_fbklt_dist: float = 0.5,
+    klt_err: float = 30.0,
+    ransac_err_px: float = 3.0,
+    robust_th: float = 5.9915,
+    levels: int = 4,
+    win: int = 9,
+    iters: int = 30,
+    use_clahe: bool = False,
+    do_epipolar: bool = True,
+    do_pose: bool = True,
+    ransac_iters: int = 100,
+    pnp_iters: int = 10,
+    fisheye: bool = False,
+    use_prior: bool = True,
+):
+    """Returns (cur_pyr, S_out, packed, key_next).
+
+    ``packed`` has the exact layout of :func:`fused_track_step`'s output
+    (the host applies it one frame late); ``S_out`` feeds the next call.
+    """
+    N = S_prev.shape[0] - 2
+    px = S_prev[:N, 0:2]
+    status_prev = S_prev[:N, 4] > 0.5
+    T_cur = S_prev[N, :7]
+    T_prev = S_prev[N + 1, :7]
+
+    lm_pos = lm_static[:N, 0:3]
+    kf_px_und = lm_static[:N, 3:5]
+    flags = lm_static[:N, 5].astype(jnp.int32)
+    valid = status_prev & ((flags & FLAG_VALID) > 0)
+    lm_is3d = (flags & FLAG_IS3D) > 0
+    kf_pair_valid = (flags & FLAG_PAIR) > 0
+    T_kf = lm_static[N, :7]
+
+    # on-device constant-velocity prior, scaled by dt_ratio (frame-drop
+    # gaps: the prior must extrapolate the ACTUAL time gap, or KLT priors
+    # lag the motion by the dropped frames and tracking collapses);
+    # zero T_prev row = no history yet
+    has_prev = jnp.abs(T_prev).sum() > 0
+    rel = lie.pose_compose(lie.pose_inverse(T_prev), T_cur)
+    r = dt_ratio[0]
+    w_scaled = lie.so3_exp(lie.so3_log(rel[:4]) * r)
+    rel_s = jnp.concatenate([w_scaled, rel[4:] * r])
+    T_pred = jnp.where(has_prev, lie.pose_compose(T_cur, rel_s), T_cur)
+
+    cur_pyr, packed, key_next = _track_body(
+        img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
+        kf_pair_valid, T_pred, T_kf, key, calib,
+        clahe_val=clahe_val, max_fbklt_dist=max_fbklt_dist,
+        klt_err=klt_err, ransac_err_px=ransac_err_px, robust_th=robust_th,
+        levels=levels, win=win, iters=iters, use_clahe=use_clahe,
+        do_epipolar=do_epipolar, do_pose=do_pose,
+        ransac_iters=ransac_iters, pnp_iters=pnp_iters, fisheye=fisheye,
+        use_prior=use_prior, debug=False)
+
+    T_new = jnp.concatenate([packed[N + 1, :5], packed[N + 2, :2]])
+    S_out = jnp.zeros_like(S_prev)
+    S_out = S_out.at[:N, 0:5].set(packed[:N, 0:5])
+    S_out = S_out.at[N, :7].set(T_new)
+    S_out = S_out.at[N + 1, :7].set(T_cur)
+    # the packed view also carries T_pred (row N tail cols 2:4 unused →
+    # host fallback needs the prior it was tracked under)
+    packed = packed.at[N, 2].set(1.0)  # marker: chained step
+    return cur_pyr, S_out, packed, key_next
+
+
+@jax.jit
+def patch_chain_rows(S, rows, px, und, status):
+    """Scatter freshly detected keyframe slots into the device chain
+    state. FIXED SHAPES: rows is always (max_kps,) padded with a LARGE
+    POSITIVE out-of-bounds index (dropped by the scatter — negative
+    padding would WRAP onto the pose rows) — a per-detection-count
+    shape would recompile on every keyframe (~seconds each on a remote
+    compiler).
+    px/und: (max_kps, 2); status: (max_kps,)."""
+    upd = jnp.concatenate([px, und, status[:, None]], axis=1)
+    return S.at[rows, 0:5].set(upd, mode="drop")
+
+
+@jax.jit
+def patch_chain_pose(S, T_cur, T_prev):
+    """Overwrite the chain's pose rows (P3P-fallback rescue / BA pose
+    correction propagation into the device recurrence)."""
+    N = S.shape[0] - 2
+    S = S.at[N, :7].set(T_cur)
+    return S.at[N + 1, :7].set(T_prev)
+
+
+@jax.jit
+def patch_chain_pose_delta(S, delta):
+    """Left-compose a world-frame correction onto the chain's pose rows
+    (BA moved the map while frames were in flight: T' = delta ∘ T)."""
+    N = S.shape[0] - 2
+    S = S.at[N, :7].set(lie.pose_compose(delta, S[N, :7]))
+    return S.at[N + 1, :7].set(lie.pose_compose(delta, S[N + 1, :7]))

@@ -40,7 +40,7 @@ class AsyncSlamManager(SlamManager):
     """SlamManager with keyframe processing on a worker thread."""
 
     def __init__(self, cfg, use_loop_closer: Optional[bool] = None,
-                 queue_size: int = 4):
+                 queue_size: int = 64):
         super().__init__(cfg, use_loop_closer)
         self.map_lock = threading.RLock()
         self._kf_queue: "queue.Queue" = queue.Queue(maxsize=queue_size)
@@ -51,6 +51,11 @@ class AsyncSlamManager(SlamManager):
         # the worker is mid-dispatch on the device (fatal on exit)
         self._pending = 0
         self._pending_cv = threading.Condition()
+        # keyframes enqueued but not yet stereo-matched/triangulated —
+        # the quantity KF backpressure keys on (_allow_new_kf)
+        self._unmapped = 0
+        self._kf_deferrals = 0
+        self._fold_backlog = []   # inline-mapped KFs awaiting a BA window
         self._worker = threading.Thread(target=self._kf_worker, daemon=True)
         self._worker.start()
 
@@ -62,39 +67,100 @@ class AsyncSlamManager(SlamManager):
         fe = self.frontend
         f = fe.frame
 
-        with self.map_lock:
-            new_rows, desc = fe.detect_and_describe()
-            # graceful degradation at capacity: drop surplus detections
-            # instead of aborting (their frame slots simply stay 2D-less)
-            n_alloc = min(len(new_rows), self.map.free_landmark_capacity)
-            if n_alloc:
-                lmids = self.map.new_landmarks(n_alloc)
-                f.lmids[new_rows[:n_alloc]] = lmids
-            lm_slots = np.where(f.valid, f.lmids, -1).astype(np.int32)
-            kfid = self.map.add_keyframe(
-                time, f.T_wc, lm_slots, f.px_und, desc.astype(np.uint32))
-            f.kf_id = kfid
+        new_rows, desc = fe.detect_and_describe()
+        if fe.bootstrap_kf and self.map.n_keyframes >= 1 \
+                and len(new_rows) < 8:
+            # featureless re-bootstrap veto (see SlamManager)
+            f.valid[:] = False
+            f.lmids[:] = -1
+            f.kf_id = -1
+            return -1
+        # graceful degradation at capacity: drop surplus detections
+        # instead of aborting (their frame slots simply stay 2D-less)
+        n_alloc = min(len(new_rows), self.map.free_landmark_capacity)
+        if n_alloc:
+            lmids = self.map.new_landmarks(n_alloc)
+            f.lmids[new_rows[:n_alloc]] = lmids
+        lm_slots = np.where(f.valid, f.lmids, -1).astype(np.int32)
+        kfid = self.map.add_keyframe(
+            time, f.T_wc, lm_slots, f.px_und, desc.astype(np.uint32))
+        f.kf_id = kfid
 
         if fe.initialized:
-            # hand off to the worker (drop-oldest on overflow = the
-            # reference's real-time load shedding); the seq snapshot
-            # detects the slot being culled+recycled before processing
+            # hand off to the worker. EVERY keyframe must be mapped
+            # (stereo match + triangulation) — the reference's queue is
+            # unbounded and only OPTIONAL stages skip under backpressure
+            # (`mapper.cpp:153-162,784-819`); dropping a queued keyframe
+            # leaves its landmarks 2D forever, n3d collapses and the
+            # keyframe heuristics cascade. If the (large) queue is ever
+            # full, map INLINE — blocking here would deadlock (this
+            # thread holds the map lock the worker needs), and real-time
+            # shedding belongs at the INPUT (frame dropping,
+            # `ov2slam.cpp:292-299`), not at the mapper.
+            # The seq snapshot detects cull+recycle before processing.
             item = (kfid, int(self.map.kf_seq[kfid]), fe.cur_pyr, img_right)
-            with self._pending_cv:
-                try:
-                    self._kf_queue.put_nowait(item)
+            try:
+                self._kf_queue.put_nowait(item)
+                with self._pending_cv:
                     self._pending += 1
-                except queue.Full:
-                    try:
-                        self._kf_queue.get_nowait()
-                        self._pending -= 1
-                    except queue.Empty:
-                        pass
-                    self._kf_queue.put_nowait(item)
-                    self._pending += 1
+                    self._unmapped += 1
+            except queue.Full:
+                # overload fallback: map inline (never skip mapping) and
+                # leave the keyframe for the worker's next BA window via
+                # the fold list (`estimator.cpp:195-214` folds skipped
+                # keyframes the same way)
+                self.mapper.process_keyframe(kfid, f, fe.cur_pyr,
+                                             img_right)
+                with self._pending_cv:
+                    self._fold_backlog.append(kfid)
         return kfid
 
+    def _allow_new_kf(self) -> bool:
+        """Mapper-lag backpressure (`bnewkfavailable_` checks,
+        `mapper.cpp:153-162`): while the worker still owes stereo
+        matching/triangulation for a queued keyframe, the front-end's
+        keyframe heuristics run against an UN-triangulated map (few 3D
+        kps, sparse occupancy) and fire keyframe cascades — the round-3
+        failure mode that inflated 14 sync keyframes to 58 async ones.
+
+        Deferral is bounded: only while a keyframe is actually UNMAPPED
+        (not merely while BA/LC run), at most 4 consecutive frames, and
+        never when the track set is genuinely thinning — an unbounded
+        gate starves the map of keyframes under sustained load and
+        costs far more ATE than the cascade it prevents."""
+        if self._unmapped == 0:
+            self._kf_deferrals = 0
+            return True
+        cap = self.cfg.grid_cells[0] * self.cfg.grid_cells[1]
+        if self.frontend.frame.n_valid < max(10, int(0.45 * cap)):
+            self._kf_deferrals = 0
+            return True
+        self._kf_deferrals += 1
+        if self._kf_deferrals > 4:
+            self._kf_deferrals = 0
+            return True
+        return False
+
     def process_frame(self, img_left, img_right=None, time: float = 0.0):
+        # the in-flight frame's device→host transfer is the only long
+        # blocking wait on this thread — force it OUTSIDE the map lock so
+        # the worker keeps running through it (round 3 held the lock for
+        # the whole front-end frame and starved the worker on 2-core
+        # hosts; the reference's `map_mutex_` never covers a device wait)
+        self.frontend.wait_pending()
+        # input backpressure for flat-out (unpaced) feeding: when the
+        # worker owes mapping for more than one keyframe, tracking runs
+        # against a mostly-2D map, the keyframe heuristics cascade, and
+        # the system self-sustains its own overload. The reference's
+        # non-realtime mode absorbs this by letting the INPUT queue grow
+        # (`ov2slam.cpp:268-307` without `force_realtime`); blocking the
+        # caller here is the bounded-memory equivalent. Paced (camera-
+        # rate) callers almost never hit this wait.
+        with self._pending_cv:
+            deadline = 10.0
+            while self._unmapped > 1 and deadline > 0:
+                self._pending_cv.wait(0.05)
+                deadline -= 0.05
         with self.map_lock:
             return super().process_frame(img_left, img_right, time)
 
@@ -123,11 +189,17 @@ class AsyncSlamManager(SlamManager):
                 for kfid, seq, pyr, img_right in items[:-1]:
                     if self.map.kf_valid[kfid] \
                             and int(self.map.kf_seq[kfid]) == seq:
-                        with self.map_lock:
-                            self.mapper.process_keyframe(
-                                kfid, self.frontend.frame, pyr, img_right)
+                        self.mapper.process_keyframe(
+                            kfid, self.frontend.frame, pyr, img_right,
+                            lock=self.map_lock)
                         skipped.append(kfid)
+                    with self._pending_cv:
+                        self._unmapped = max(0, self._unmapped - 1)
+                        self._pending_cv.notify_all()
                 kfid, seq, pyr, img_right = items[-1]
+                with self._pending_cv:
+                    skipped.extend(self._fold_backlog)
+                    self._fold_backlog = []
                 self._process_kf(kfid, seq, pyr, img_right,
                                  under_pressure=backlogged,
                                  fold_kfs=skipped)
@@ -144,12 +216,17 @@ class AsyncSlamManager(SlamManager):
     def _process_kf(self, kfid, seq, pyr, img_right, under_pressure: bool,
                     fold_kfs=()):
         if not self.map.kf_valid[kfid] or int(self.map.kf_seq[kfid]) != seq:
+            with self._pending_cv:
+                self._unmapped = max(0, self._unmapped - 1)
+                self._pending_cv.notify_all()
             return   # culled (and possibly recycled) while queued
-        with self.map_lock:
-            self.mapper.process_keyframe(kfid, self.frontend.frame, pyr,
-                                         img_right)
-            if self.cfg.do_track_localmap and not under_pressure:
-                self.mapper.match_to_local_map(kfid)
+        self.mapper.process_keyframe(kfid, self.frontend.frame, pyr,
+                                     img_right, lock=self.map_lock)
+        with self._pending_cv:
+            self._unmapped = max(0, self._unmapped - 1)
+            self._pending_cv.notify_all()
+        if self.cfg.do_track_localmap and not under_pressure:
+            self.mapper.match_to_local_map(kfid, lock=self.map_lock)
         if self.cfg.slam_mode:
             self.estimator.local_ba(kfid, lock=self.map_lock,
                                     extra_window=fold_kfs)
@@ -184,7 +261,18 @@ class AsyncSlamManager(SlamManager):
         # a thread mid-device-dispatch at exit aborts the process
         self._worker.join(timeout=120.0)
 
+    def estimated_trajectory(self):
+        self.frontend.wait_pending()
+        with self.map_lock:
+            self.finish()     # may enqueue one final keyframe
+        self.flush()
+        with self.map_lock:
+            return super().estimated_trajectory()
+
     def write_results(self, out_dir: str = "."):
+        self.frontend.wait_pending()
+        with self.map_lock:
+            self.finish()
         self.flush()
         with self.map_lock:
             super().write_results(out_dir)

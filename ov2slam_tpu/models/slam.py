@@ -69,6 +69,7 @@ class SlamManager:
         self.frame_id = -1
         self.n_resets = 0
         self._rng = jax.random.PRNGKey(42)
+        self._prev_rights = []    # right images of the in-flight frames
 
     # ------------------------------------------------------------------ #
 
@@ -123,7 +124,15 @@ class SlamManager:
     def process_frame(self, img_left: np.ndarray,
                       img_right: Optional[np.ndarray] = None,
                       time: float = 0.0) -> np.ndarray:
-        """Feed one frame (mono or stereo pair); returns current T_wc."""
+        """Feed one frame (mono or stereo pair); returns current T_wc.
+
+        With ``cfg.pipelined_frontend`` the per-frame device readback is
+        resolved ONE FRAME LATE, overlapped with the next frame's
+        dispatch (the reference's online mode never blocks the camera
+        thread on back-end work either, `ov2slam.cpp:116-238`); the
+        returned pose then belongs to the PREVIOUS frame. Call
+        :meth:`finish` (done automatically by trajectory/result getters)
+        to resolve the final in-flight frame."""
         self.frame_id += 1
         fe = self.frontend
         if self._remap_l is not None:
@@ -131,6 +140,26 @@ class SlamManager:
         if self._remap_r is not None and img_right is not None:
             img_right = self._remap_r(jnp.asarray(img_right, jnp.float32))
 
+        if self.cfg.pipelined_frontend and self._pipeline_ready(fe):
+            depth = max(1, self.cfg.pipeline_depth)
+            if fe.n_pending >= depth:
+                is_kf = fe.resolve_pending()
+                self._post_track(is_kf, self._prev_rights[0]
+                                 if self._prev_rights else None)
+                if self._prev_rights:
+                    self._prev_rights.pop(0)
+            if self._pipeline_ready(fe):   # may have reset / gone lost
+                fe.dispatch_frame(img_left, time)
+                self._prev_rights.append(img_right)
+                return fe.frame.T_wc
+        while fe.has_pending:
+            # mode switch / lost state: resolve before the sync path
+            self._post_track(fe.resolve_pending(), self._prev_rights[0]
+                             if self._prev_rights else None)
+            if self._prev_rights:
+                self._prev_rights.pop(0)
+
+        # ------------------- classic synchronous path ------------------- #
         # post-reset relocalization (beyond-reference): while lost with a
         # populated map, first try to re-localize against the place index;
         # on failure fall through IMMEDIATELY to the re-bootstrap path —
@@ -148,6 +177,31 @@ class SlamManager:
                                      self._kf_key(fe.frame.kf_id), None)
                 return fe.frame.T_wc
         is_kf = fe.track_frame(img_left, time)
+        return self._post_track(is_kf, img_right)
+
+    def _pipeline_ready(self, fe) -> bool:
+        """Steady tracking — the only regime the dispatch/resolve split
+        handles; bootstrap, mono init and lost states go through the
+        synchronous path."""
+        return (fe.initialized and self.map.n_keyframes >= 1
+                and not (fe.frame.kf_id < 0 and fe.frame.n_valid == 0)
+                and not getattr(fe, "debug_gates", False))
+
+    def finish(self):
+        """Resolve all in-flight frames (pipelined mode barrier)."""
+        fe = self.frontend
+        while fe.has_pending:
+            self._post_track(fe.resolve_pending(), self._prev_rights[0]
+                             if self._prev_rights else None)
+            if self._prev_rights:
+                self._prev_rights.pop(0)
+
+    def _post_track(self, is_kf: bool, img_right) -> np.ndarray:
+        """Everything after per-frame tracking: init/starvation handling,
+        keyframe creation, relocalization fallback, trajectory logging —
+        for the frame currently resolved in ``fe.frame``."""
+        fe = self.frontend
+        time = fe.frame.time
 
         if not fe.initialized:
             # bootstrap starving: restart from the next frame (the
@@ -181,6 +235,8 @@ class SlamManager:
                    and fe.frame.n_valid < reset_th
                    and not fe.bootstrap_kf)
 
+        if is_kf and not starved and not self._allow_new_kf():
+            is_kf = False        # async backpressure (see pipeline.py)
         if is_kf and not starved:
             kfid = self._create_keyframe(time, img_right)
             fe.frame.kf_id = kfid
@@ -200,6 +256,12 @@ class SlamManager:
                 if kf_id >= 0 and self.map.kf_valid[kf_id] else None)
         self.logger.add_pose(time, T, is_kf, self._kf_key(kf_id), T_kf)
         return fe.frame.T_wc
+
+    def _allow_new_kf(self) -> bool:
+        """Keyframe-creation admission hook; the asynchronous manager
+        overrides it with mapper-lag backpressure (`bnewkfavailable_`
+        semantics, `mapper.cpp:153-162`)."""
+        return True
 
     def _kf_key(self, kf_id: int) -> int:
         """Stable trajectory-log key for a keyframe: its insertion seq.
@@ -251,9 +313,13 @@ class SlamManager:
                 self.estimator.map_filtering(kfid)
             if self.loop_closer is not None:
                 self.loop_closer.process_keyframe(kfid, img=fe.cur_pyr[0])
-            # refresh the front-end pose estimate after BA moved the map
+            # refresh the front-end pose estimate after BA moved the map;
+            # in chained mode, propagate the same correction into the
+            # in-flight device recurrence
+            T_old = f.T_wc.copy()
             f.T_wc = self.map.kf_poses[kfid].copy()
             fe.motion.prev_T = f.T_wc.astype(np.float64)
+            fe.chain_apply_correction(T_old, f.T_wc)
         return kfid
 
     # ------------------------------------------------------------------ #
@@ -348,6 +414,7 @@ class SlamManager:
         restart; post-init the map is kept)."""
         self.n_resets += 1
         self.frontend.reset()
+        self._prev_rights = []
         if full:
             self.map = MapStore(self.cfg)
             self.frontend.map = self.map
@@ -361,6 +428,8 @@ class SlamManager:
     def write_results(self, out_dir: str = "."):
         """Final products (`writeResults`, `ov2slam.cpp:576-623`)."""
         import os
+
+        self.finish()
 
         self.logger.write_tum(os.path.join(out_dir, "ov2slam_traj.txt"))
         self.logger.write_tum(
@@ -413,6 +482,7 @@ class SlamManager:
 
     def estimated_trajectory(self):
         """(times (F,), poses (F, 7)) of all processed frames."""
+        self.finish()
         times = np.array([fp.time for fp in self.logger.frames])
         poses = np.stack([fp.T_wc for fp in self.logger.frames])
         return times, poses

@@ -87,6 +87,14 @@ class SlamConfig:
     # (requires the loop closer's place index); falls back to the
     # reference's reset when off or unsuccessful
     use_relocalizer: bool = True
+    # pipelined front-end: the per-frame device readback resolves one
+    # frame late, overlapped with the next dispatch (the throughput mode;
+    # per-frame results lag by one frame — see SlamManager.process_frame)
+    pipelined_frontend: bool = False
+    # frames in flight when pipelined: 1 = host-packed lag-1; >=2 = the
+    # device-chained recurrence (state never returns to host between
+    # frames; readbacks trail by `depth` frames and never block)
+    pipeline_depth: int = 2
 
     # --- cameras ----------------------------------------------------------
     cam_left: CameraConfig = dataclasses.field(default_factory=CameraConfig)
