@@ -439,7 +439,7 @@ def _bench_e2e(jax, jnp, n_frames, use_async, pace_fps=None):
     cfg = seq.make_config()
     apply_profile(cfg, "fast")
     cfg.pipelined_frontend = True
-    cfg.pipeline_depth = 2
+    cfg.pipeline_depth = int(__import__('os').environ.get('BENCH_DEPTH', '2'))
     cfg.validate()
 
     if use_async:

@@ -660,10 +660,16 @@ class FrontEnd:
         """Fill empty grid cells with new detections and BRIEF-describe all
         current keypoints (`MapManager::extractKeypoints`,
         `map_manager.cpp:286-341`). Returns (new_rows, descriptors (N, 8))."""
+        return self.finalize_detect(self.dispatch_detect())
+
+    def dispatch_detect(self) -> dict:
+        """Dispatch keyframe detection/description WITHOUT reading the
+        result back. Snapshots the per-slot state it was computed from so
+        :meth:`finalize_detect` can register the keyframe one or more
+        frames later (the deferred-detection path keeps the arrival
+        thread free of per-KF blocking round trips)."""
         cfg = self.cfg
         f = self.frame
-        img = self.cur_pyr[0]
-        self.prof.start("1.KF_DetectDescribe")
 
         # dispatch mirrors `map_manager.cpp:312-323`: use_shi_tomasi →
         # GFTT (two-pass + cornerSubPix), use_fast → grid FAST,
@@ -678,7 +684,7 @@ class FrontEnd:
         from .frontend_step import fused_detect_describe
 
         desc_all, det_packed = fused_detect_describe(
-            img, jnp.asarray(f.px), jnp.asarray(f.valid),
+            self.cur_pyr[0], jnp.asarray(f.px), jnp.asarray(f.valid),
             float(thresh), self._calib, detector=detector,
             cell_size=cfg.max_dist, max_out=cfg.max_kps,
             fisheye=self._fisheye)
@@ -687,8 +693,22 @@ class FrontEnd:
             det_packed.copy_to_host_async()
         except Exception:
             pass
-        desc_all = np.asarray(desc_all)
-        det_packed = np.asarray(det_packed)
+        return dict(desc=desc_all, det=det_packed,
+                    valid_snap=f.valid.copy(), px_snap=f.px.copy(),
+                    px_und_snap=f.px_und.copy(), lmids_snap=f.lmids.copy(),
+                    T_wc_snap=f.T_wc.copy(), time_snap=f.time,
+                    n_valid_snap=f.n_valid)
+
+    def finalize_detect(self, ki: dict) -> Tuple[np.ndarray, np.ndarray]:
+        """Read back a :meth:`dispatch_detect` result and place the new
+        keypoints into (still-free) frame slots. Returns
+        (new_rows, descriptors (N, 8)) — descriptors/positions describe
+        the SNAPSHOT frame the detection ran on."""
+        cfg = self.cfg
+        f = self.frame
+        self.prof.start("1.KF_DetectDescribe")
+        desc_all = np.asarray(ki["desc"])
+        det_packed = np.asarray(ki["det"])
         N = len(f.px)
         kps = det_packed[:, 0:2]
         und_new = det_packed[:, 2:4]
@@ -697,7 +717,7 @@ class FrontEnd:
         # adaptive threshold update (`feature_extractor.cpp:418-423,546-552`)
         n_det = int(ok.sum())
         cap = cfg.grid_cells[0] * cfg.grid_cells[1]
-        n_free = max(cap - f.n_valid, 1)
+        n_free = max(cap - int(ki["n_valid_snap"]), 1)
         if cfg.use_singlescale_detector or cfg.use_shi_tomasi:
             if n_det < 0.33 * n_free:
                 self._quality /= 2.0
@@ -714,8 +734,11 @@ class FrontEnd:
                 self._fast_th = min(80.0, self._fast_th * 1.5)
 
         # place new kps into free slots; descriptors and undistorted px
-        # came back from the fused call (desc_all rows N.. / und_new)
-        free_slots = np.nonzero(~f.valid)[0]
+        # came back from the fused call (desc_all rows N.. / und_new).
+        # Slots free at DETECTION time: slots can only be lost (never
+        # re-filled) between a deferred dispatch and this finalize, so
+        # these are still free now.
+        free_slots = np.nonzero(~ki["valid_snap"])[0]
         desc = desc_all[:N].copy()
         new_rows = []
         det_rows = np.nonzero(ok)[0]

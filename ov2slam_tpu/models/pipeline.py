@@ -56,6 +56,7 @@ class AsyncSlamManager(SlamManager):
         self._unmapped = 0
         self._kf_deferrals = 0
         self._fold_backlog = []   # inline-mapped KFs awaiting a BA window
+        self._kf_inflight = None  # deferred keyframe awaiting registration
         self._worker = threading.Thread(target=self._kf_worker, daemon=True)
         self._worker.start()
 
@@ -66,6 +67,21 @@ class AsyncSlamManager(SlamManager):
     def _create_keyframe(self, time, img_right):
         fe = self.frontend
         f = fe.frame
+
+        # deferred detection (device-chained mode): dispatch now, read
+        # back + register at the NEXT call — the detect readback was the
+        # last per-keyframe blocking round trip on the arrival thread
+        # (one ~RTT stall per KF = one dropped frame per KF at camera
+        # rate). The keyframe's state is snapshotted at dispatch; the
+        # chain's slot-birth masking keeps in-flight resolves off the
+        # new slots until they are registered.
+        if (self.cfg.pipelined_frontend and self.cfg.pipeline_depth >= 2
+                and fe.initialized and not fe.bootstrap_kf
+                and self._kf_inflight is None):
+            det = fe.dispatch_detect()
+            self._kf_inflight = dict(det=det, img_right=img_right,
+                                     pyr=fe.cur_pyr)
+            return -2   # sentinel: registration pending
 
         new_rows, desc = fe.detect_and_describe()
         if fe.bootstrap_kf and self.map.n_keyframes >= 1 \
@@ -115,6 +131,47 @@ class AsyncSlamManager(SlamManager):
                     self._fold_backlog.append(kfid)
         return kfid
 
+    def _finalize_kf_inflight(self):
+        """Register a deferred keyframe: read back the detection, place
+        new keypoints, add the keyframe from its dispatch-time snapshot,
+        and enqueue it for the worker. Call with map_lock held (the
+        transfers should be forced beforehand, outside the lock)."""
+        rec = self._kf_inflight
+        if rec is None:
+            return
+        self._kf_inflight = None
+        fe = self.frontend
+        f = fe.frame
+        ki = rec["det"]
+        new_rows, desc = fe.finalize_detect(ki)
+        n_alloc = min(len(new_rows), self.map.free_landmark_capacity)
+        if n_alloc:
+            lmids = self.map.new_landmarks(n_alloc)
+            f.lmids[new_rows[:n_alloc]] = lmids
+        valid_kf = ki["valid_snap"].copy()
+        valid_kf[new_rows] = True
+        lm_all = ki["lmids_snap"].copy()
+        lm_all[new_rows] = f.lmids[new_rows]
+        lm_slots = np.where(valid_kf, lm_all, -1).astype(np.int32)
+        px_und = ki["px_und_snap"].copy()
+        px_und[new_rows] = f.px_und[new_rows]
+        kfid = self.map.add_keyframe(
+            float(ki["time_snap"]), ki["T_wc_snap"], lm_slots, px_und,
+            desc.astype(np.uint32))
+        f.kf_id = kfid
+        item = (kfid, int(self.map.kf_seq[kfid]), rec["pyr"],
+                rec["img_right"])
+        try:
+            self._kf_queue.put_nowait(item)
+            with self._pending_cv:
+                self._pending += 1
+                self._unmapped += 1
+        except queue.Full:
+            self.mapper.process_keyframe(kfid, f, rec["pyr"],
+                                         rec["img_right"])
+            with self._pending_cv:
+                self._fold_backlog.append(kfid)
+
     def _allow_new_kf(self) -> bool:
         """Mapper-lag backpressure (`bnewkfavailable_` checks,
         `mapper.cpp:153-162`): while the worker still owes stereo
@@ -128,6 +185,8 @@ class AsyncSlamManager(SlamManager):
         never when the track set is genuinely thinning — an unbounded
         gate starves the map of keyframes under sustained load and
         costs far more ATE than the cascade it prevents."""
+        if self._kf_inflight is not None:
+            return False   # one deferred registration at a time
         if self._unmapped == 0:
             self._kf_deferrals = 0
             return True
@@ -148,6 +207,14 @@ class AsyncSlamManager(SlamManager):
         # the whole front-end frame and starved the worker on 2-core
         # hosts; the reference's `map_mutex_` never covers a device wait)
         self.frontend.wait_pending()
+        if self._kf_inflight is not None:
+            # force the detect transfers to complete OUTSIDE the lock,
+            # then register the deferred keyframe under it
+            ki = self._kf_inflight["det"]
+            ki["desc"] = np.asarray(ki["desc"])
+            ki["det"] = np.asarray(ki["det"])
+            with self.map_lock:
+                self._finalize_kf_inflight()
         # input backpressure for flat-out (unpaced) feeding: when the
         # worker owes mapping for more than one keyframe, tracking runs
         # against a mostly-2D map, the keyframe heuristics cascade, and
@@ -264,7 +331,9 @@ class AsyncSlamManager(SlamManager):
     def estimated_trajectory(self):
         self.frontend.wait_pending()
         with self.map_lock:
-            self.finish()     # may enqueue one final keyframe
+            self._finalize_kf_inflight()
+            self.finish()
+            self._finalize_kf_inflight()     # may enqueue one final keyframe
         self.flush()
         with self.map_lock:
             return super().estimated_trajectory()
@@ -272,7 +341,9 @@ class AsyncSlamManager(SlamManager):
     def write_results(self, out_dir: str = "."):
         self.frontend.wait_pending()
         with self.map_lock:
+            self._finalize_kf_inflight()
             self.finish()
+            self._finalize_kf_inflight()
         self.flush()
         with self.map_lock:
             super().write_results(out_dir)

@@ -237,11 +237,15 @@ class SlamManager:
 
         if is_kf and not starved and not self._allow_new_kf():
             is_kf = False        # async backpressure (see pipeline.py)
+        deferred_kf = False
         if is_kf and not starved:
             kfid = self._create_keyframe(time, img_right)
-            fe.frame.kf_id = kfid
-            if kfid < 0:          # featureless re-bootstrap vetoed
-                is_kf = False
+            if kfid == -2:        # deferred registration (async chained
+                deferred_kf = True   # mode); kf_id assigned at finalize
+            else:
+                fe.frame.kf_id = kfid
+                if kfid < 0:      # featureless re-bootstrap vetoed
+                    is_kf = False
         if starved:
             # beyond-reference: try map-preserving relocalization via the
             # place-recognition index before falling back to the
@@ -252,9 +256,15 @@ class SlamManager:
 
         T = fe.frame.T_wc.astype(np.float64)
         kf_id = fe.frame.kf_id
-        T_kf = (self.map.kf_poses[kf_id].astype(np.float64)
-                if kf_id >= 0 and self.map.kf_valid[kf_id] else None)
-        self.logger.add_pose(time, T, is_kf, self._kf_key(kf_id), T_kf)
+        if deferred_kf:
+            # the keyframe registers next call with exactly the next seq
+            # and this frame's pose — log it under that identity now
+            self.logger.add_pose(time, T, True,
+                                 int(self.map._kf_seq_counter), T)
+        else:
+            T_kf = (self.map.kf_poses[kf_id].astype(np.float64)
+                    if kf_id >= 0 and self.map.kf_valid[kf_id] else None)
+            self.logger.add_pose(time, T, is_kf, self._kf_key(kf_id), T_kf)
         return fe.frame.T_wc
 
     def _allow_new_kf(self) -> bool:
