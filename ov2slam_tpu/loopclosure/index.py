@@ -47,6 +47,16 @@ def _set_rows_bits(bits_cube, valid_cube, i, d_row, v_row):
             valid_cube.at[i].set(v_row))
 
 
+@jax.jit
+def _unpack_pm1_j(d, v):
+    """Module-level jitted unpack: a fresh `jax.jit(unpack_pm1)` wrapper
+    per call would re-trace on every query (each wrapper owns its own
+    cache) — hoisted so the hot query path hits one cached executable."""
+    from ..ops.pallas_hamming import unpack_pm1
+
+    return unpack_pm1(d, v)
+
+
 @partial(jax.jit, static_argnames=())
 def _match_scores(store_desc, store_valid, q_desc, q_valid, match_bits):
     """Scores of a query against all stored KFs.
@@ -163,9 +173,7 @@ class PlaceIndex:
         on_tpu = jax.default_backend() == "tpu"
         if self._dev_desc is None or len(self.kf_ids) - self._n_dev > 32:
             if on_tpu:
-                from ..ops.pallas_hamming import unpack_pm1
-
-                self._dev_desc = jax.jit(unpack_pm1)(
+                self._dev_desc = _unpack_pm1_j(
                     jnp.asarray(self._desc), jnp.asarray(self._valid))
             else:
                 self._dev_desc = jnp.asarray(self._desc)
@@ -187,10 +195,9 @@ class PlaceIndex:
         dev_desc, dev_valid = self._device_store()
         if jax.default_backend() == "tpu":
             # MXU kernel: Hamming-as-matmul with fused min reduction
-            from ..ops.pallas_hamming import match_scores_bits, unpack_pm1
+            from ..ops.pallas_hamming import match_scores_bits
 
-            q_bits = jax.jit(unpack_pm1)(jnp.asarray(desc),
-                                         jnp.asarray(valid))
+            q_bits = _unpack_pm1_j(jnp.asarray(desc), jnp.asarray(valid))
             return np.array(match_scores_bits(
                 dev_desc, dev_valid, q_bits, jnp.asarray(valid),
                 self.match_bits))[:usable]

@@ -187,6 +187,6 @@ class Estimator:
             lmids = m.kf_landmark_ids(k, only_3d=True)
             if len(lmids) == 0:
                 continue
-            n_obs = np.array([(m.lm_obs_kf[l] >= 0).sum() for l in lmids])
+            n_obs = (m.lm_obs_kf[lmids] >= 0).sum(axis=1)
             if (n_obs >= 4).mean() > cfg.kf_filtering_ratio:
                 m.remove_keyframe(k)

@@ -326,7 +326,12 @@ class FrontEnd:
         f = self.frame
         m = self.map
         ids = np.maximum(f.lmids, 0)
-        live = (f.lmids >= 0) & m.lm_valid[ids]
+        # f.valid is included so host-side slot invalidation (P3P-rescue
+        # outliers, starvation culls) reaches the device recurrence at
+        # the next dispatch; the reverse direction (chain kills a slot
+        # the host still believes in) is handled by the chain's own
+        # status recurrence, which never resurrects a dead slot
+        live = f.valid & (f.lmids >= 0) & m.lm_valid[ids]
         is3d = live & m.lm_is3d[ids]
         lm_pos = np.where(is3d[:, None], m.lm_pos[ids], 0.0)
         kf_px = np.zeros_like(f.px_und)
@@ -375,21 +380,11 @@ class FrontEnd:
             self._chain_S = jnp.asarray(st)
             self._chain_pyr = self.cur_pyr
         elif self._chain_patch is not None:
-            rows, ppx, pund = self._chain_patch
-            if len(rows):
-                N = cfg.max_kps   # fixed-shape scatter (see patch op)
-                rows_p = np.full(N, 1 << 20, np.int32)  # OOB -> dropped
-                px_p = np.zeros((N, 2), np.float32)
-                und_p = np.zeros((N, 2), np.float32)
-                st_p = np.zeros(N, np.float32)
-                rows_p[:len(rows)] = rows
-                px_p[:len(rows)] = ppx
-                und_p[:len(rows)] = pund
-                st_p[:len(rows)] = 1.0
-                self._chain_S = patch_chain_rows(
-                    self._chain_S, jnp.asarray(rows_p),
-                    jnp.asarray(px_p), jnp.asarray(und_p),
-                    jnp.asarray(st_p))
+            # pre-padded device arrays, already advanced to the chain's
+            # head frame by `finalize_detect` (see advance_chain_patch)
+            rows_d, px_d, und_d, st_d = self._chain_patch
+            self._chain_S = patch_chain_rows(
+                self._chain_S, rows_d, px_d, und_d, st_d)
         self._chain_patch = None
 
         if isinstance(img, np.ndarray):
@@ -438,16 +433,30 @@ class FrontEnd:
         return pend
 
     def chain_apply_correction(self, T_old: np.ndarray, T_new: np.ndarray):
-        """Propagate a map-side pose correction (BA/pose-graph snapped the
-        resolved frame from T_old to T_new) into the in-flight device
-        recurrence: left-compose the world-frame delta onto its poses."""
+        """Propagate a map-side pose correction (BA / pose-graph /
+        P3P-rescue snapped the resolved frame from T_old to T_new) into
+        the pipelined recurrence:
+
+        - left-compose the world-frame delta onto the device chain's
+          pose rows (so future dispatches predict from corrected state),
+        - tag every in-flight pending with the same delta, so when its
+          already-computed result is resolved, its pose is re-expressed
+          in the corrected world frame instead of the stale one (the
+          round-4 failure: each keyframe's BA shifted the map while
+          `depth` frames resolved against pre-BA poses)."""
+        if float(np.abs(T_new.astype(np.float64)
+                        - T_old.astype(np.float64)).max()) < 1e-9:
+            return   # no-op correction (e.g. BA left the pose unchanged)
+        delta = lie_np.pose_compose(
+            T_new.astype(np.float64),
+            lie_np.pose_inverse(T_old.astype(np.float64)))
+        for p in self._pendings:
+            p["delta"] = (delta if p.get("delta") is None
+                          else lie_np.pose_compose(delta, p["delta"]))
         if self._chain_S is None:
             return
         from .frontend_step import patch_chain_pose_delta
 
-        delta = lie_np.pose_compose(
-            T_new.astype(np.float64),
-            lie_np.pose_inverse(T_old.astype(np.float64)))
         self._chain_S = patch_chain_pose_delta(
             self._chain_S, jnp.asarray(delta.astype(np.float32)))
 
@@ -482,6 +491,12 @@ class FrontEnd:
         pose_ok = packed[N, 0] > 0.5
         n_inl = int(packed[N, 1])
         T_new = np.concatenate([packed[N + 1, :5], packed[N + 2, :2]])
+        if p.get("delta") is not None:
+            # a map correction (BA/pose-graph/rescue) landed while this
+            # frame was in flight: re-express its pose in the corrected
+            # world frame (see chain_apply_correction)
+            T_new = lie_np.pose_compose(
+                p["delta"], T_new.astype(np.float64)).astype(np.float32)
         n_before = int(f.valid.sum())
         # slots born after this frame was dispatched carry no signal in
         # its output — leave them untouched (they join at a later seq)
@@ -500,9 +515,19 @@ class FrontEnd:
         # with global P3P-RANSAC instead of trusting it
         klt_collapsed = (n_before > 0
                          and f.n_valid < 0.33 * n_before)
+        chained = p["pyr"] is not None
         if do_pose:
             if klt_collapsed and cfg.do_p3p:
-                if not self._p3p_fallback(T_pred):
+                if self._p3p_fallback(T_pred):
+                    if chained:
+                        # rescue succeeded: snap the device recurrence
+                        # (and in-flight results) onto the rescued pose —
+                        # without this the next resolve would overwrite
+                        # the rescue with the chain's diverged pose and
+                        # the recovery would be inert (round-4 advisor)
+                        self.chain_apply_correction(
+                            np.array(T_new, np.float64), f.T_wc)
+                else:
                     f.T_wc = (np.array(T_new, np.float32) if bool(pose_ok)
                               else T_pred.astype(np.float32))
             elif bool(pose_ok):
@@ -510,7 +535,11 @@ class FrontEnd:
             else:
                 # PnP failed: P3P re-localization attempt
                 # (`visual_front_end.cpp:731-742,815-818`)
-                if not (cfg.do_p3p and self._p3p_fallback(T_pred)):
+                if cfg.do_p3p and self._p3p_fallback(T_pred):
+                    if chained:
+                        self.chain_apply_correction(
+                            np.array(T_new, np.float64), f.T_wc)
+                else:
                     f.T_wc = T_pred.astype(np.float32)
         else:
             f.T_wc = T_pred.astype(np.float32)
@@ -697,7 +726,7 @@ class FrontEnd:
                     valid_snap=f.valid.copy(), px_snap=f.px.copy(),
                     px_und_snap=f.px_und.copy(), lmids_snap=f.lmids.copy(),
                     T_wc_snap=f.T_wc.copy(), time_snap=f.time,
-                    n_valid_snap=f.n_valid)
+                    n_valid_snap=f.n_valid, pyr_snap=self.cur_pyr)
 
     def finalize_detect(self, ki: dict) -> Tuple[np.ndarray, np.ndarray]:
         """Read back a :meth:`dispatch_detect` result and place the new
@@ -756,11 +785,41 @@ class FrontEnd:
             # in-flight resolves must not touch them)
             self._slot_birth[new_rows] = self._dispatch_seq + 1
             if self._chain_S is not None:
-                self._chain_patch = (new_rows.copy(),
-                                     f.px[new_rows].copy(),
-                                     f.px_und[new_rows].copy())
+                self._chain_patch = self._build_chain_patch(ki, new_rows)
         self.prof.stop("1.KF_DetectDescribe")
         return new_rows, desc
+
+    def _build_chain_patch(self, ki: dict, new_rows: np.ndarray):
+        """Express the fresh detections at the device chain's HEAD frame:
+        KLT-advance them across every in-flight frame's pyramid (one
+        device hop each, no readback), so `patch_chain_rows` scatters
+        positions consistent with the pyramid the next chained step will
+        track from. Returns pre-padded device arrays."""
+        from .frontend_step import advance_chain_patch
+
+        cfg = self.cfg
+        f = self.frame
+        N = cfg.max_kps
+        rows_p = np.full(N, 1 << 20, np.int32)   # OOB pad -> dropped
+        px_p = np.zeros((N, 2), np.float32)
+        und_p = np.zeros((N, 2), np.float32)
+        st_p = np.zeros(N, np.float32)
+        rows_p[:len(new_rows)] = new_rows
+        px_p[:len(new_rows)] = f.px[new_rows]
+        und_p[:len(new_rows)] = f.px_und[new_rows]
+        st_p[:len(new_rows)] = 1.0
+        px_d, und_d, st_d = (jnp.asarray(px_p), jnp.asarray(und_p),
+                             jnp.asarray(st_p))
+        pyr_prev = ki.get("pyr_snap") or self.cur_pyr
+        for p in self._pendings:
+            if p.get("pyr") is None:
+                continue
+            px_d, und_d, st_d = advance_chain_patch(
+                pyr_prev, p["pyr"], px_d, st_d, self._calib,
+                win=cfg.klt_win_size, iters=cfg.max_iter,
+                fisheye=self._fisheye)
+            pyr_prev = p["pyr"]
+        return jnp.asarray(rows_p), px_d, und_d, st_d
 
     # ------------------------------------------------------------------ #
 

@@ -434,9 +434,10 @@ def fused_track_step_chained(
     S_out = S_out.at[:N, 0:5].set(packed[:N, 0:5])
     S_out = S_out.at[N, :7].set(T_new)
     S_out = S_out.at[N + 1, :7].set(T_cur)
-    # the packed view also carries T_pred (row N tail cols 2:4 unused →
-    # host fallback needs the prior it was tracked under)
-    packed = packed.at[N, 2].set(1.0)  # marker: chained step
+    # row N col 2 is a marker that this packed view came from the chained
+    # step (the host reconstructs the motion-model prior itself; the
+    # device prior is NOT shipped back — only T_new is)
+    packed = packed.at[N, 2].set(1.0)
     return cur_pyr, S_out, packed, key_next
 
 
@@ -453,13 +454,25 @@ def patch_chain_rows(S, rows, px, und, status):
     return S.at[rows, 0:5].set(upd, mode="drop")
 
 
-@jax.jit
-def patch_chain_pose(S, T_cur, T_prev):
-    """Overwrite the chain's pose rows (P3P-fallback rescue / BA pose
-    correction propagation into the device recurrence)."""
-    N = S.shape[0] - 2
-    S = S.at[N, :7].set(T_cur)
-    return S.at[N + 1, :7].set(T_prev)
+@partial(jax.jit, static_argnames=("win", "iters", "fisheye"))
+def advance_chain_patch(pyr_a, pyr_b, px, status, calib: CalibArrays,
+                        win: int = 9, iters: int = 30,
+                        fisheye: bool = False):
+    """Advance freshly detected keyframe slots by ONE frame hop
+    (pyr_a → pyr_b) so their positions are expressed at the device
+    chain's HEAD frame before `patch_chain_rows` scatters them in.
+
+    Without this, detections made on the resolved frame j would be
+    patched into a chain whose last tracked frame is j+depth-1 — the
+    next KLT would then sample their template at a stale location and
+    most fresh slots would die under fast motion (the round-4
+    keyframe-cascade failure). One hop per in-flight frame, all on
+    device, no readback. Slots that cannot be tracked across the hop
+    are dropped (status → 0)."""
+    fwd, st, _ = klt_track(pyr_a, pyr_b, px, px, status > 0.5,
+                           win=win, iters=iters)
+    und = _undistort_px(fwd, calib, fisheye)
+    return fwd, und, st.astype(jnp.float32) * status
 
 
 @jax.jit

@@ -275,6 +275,14 @@ class AsyncSlamManager(SlamManager):
 
                 traceback.print_exc()
                 self.n_worker_errors = getattr(self, "n_worker_errors", 0) + 1
+                # the per-item _unmapped decrements may have been skipped
+                # by the raise; recompute from ground truth (items still
+                # in the queue) so backpressure can't wedge open — two
+                # leaked counts would otherwise cost every later frame
+                # the full wait timeout
+                with self._pending_cv:
+                    self._unmapped = self._kf_queue.qsize()
+                    self._pending_cv.notify_all()
             finally:
                 with self._pending_cv:
                     self._pending -= len(items)
