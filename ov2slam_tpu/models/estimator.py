@@ -30,6 +30,44 @@ class Estimator:
         self.params = make_ba_params(cam_l, cam_r)
         self.prof = Profiler.instance()
         self.lc_kf_id = -1   # loop-closure-protected KF (`estimator.cpp:129-131`)
+        self._warmed_buckets = set()
+
+    def _prewarm_bucket(self, Lcap: int):
+        """Compile the inverse-depth BA executable for landmark bucket
+        ``Lcap`` in a background daemon thread.
+
+        The landmark count is the BA problem's only dynamic shape
+        (256-bucketed in `store.build_ba_problem`); without pre-warming,
+        the first window that crosses into a new bucket compiles a fresh
+        XLA program ON the worker thread mid-run (multi-second stall on a
+        remote-attached chip), the keyframe queue backs up past the
+        backpressure threshold, and a paced arrival stream drops a burst
+        of frames. Warming the NEXT bucket as soon as the current one is
+        first used hides the compile behind normal operation — the
+        reference's AOT-compiled binary never pays a mid-run compile."""
+        if not self.cfg.use_inv_depth or Lcap in self._warmed_buckets:
+            return
+        self._warmed_buckets.add(Lcap)
+        import threading
+
+        cfg = self.cfg
+
+        def compile_it():
+            try:
+                Kw = cfg.local_ba_max_kfs
+                O = cfg.local_ba_max_obs
+                n = Kw * 8 + 4 * Lcap + 6 * O
+                out = ba_invdepth_packed(
+                    jnp.zeros(n, jnp.float32), self.params,
+                    Kw=Kw, Lw=Lcap, O=O,
+                    robust_th=float(cfg.robust_mono_th),
+                    iters_robust=cfg.ba_iters,
+                    iters_l2=3 if cfg.apply_l2_after_robust else 0)
+                out.block_until_ready()
+            except Exception:
+                pass   # warming is best-effort
+
+        threading.Thread(target=compile_it, daemon=True).start()
 
     # ------------------------------------------------------------------ #
 
@@ -94,6 +132,10 @@ class Estimator:
             Kw = len(prob.kf_ids)
             Lw = len(prob.lm_ids)
             O = len(prob.obs_kf)
+            # this solve compiles bucket Lw (if cold); start the NEXT
+            # bucket's compile in the background before it is needed
+            self._warmed_buckets.add(Lw)
+            self._prewarm_bucket(Lw + 256)
             flat = pack_ba_invdepth(prob, rho, ray, obs_valid)
             out_dev = ba_invdepth_packed(
                 jnp.asarray(flat), self.params, Kw=Kw, Lw=Lw, O=O,

@@ -33,6 +33,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils import lie_np
 from .slam import SlamManager
 
 
@@ -180,14 +181,17 @@ class AsyncSlamManager(SlamManager):
         kps, sparse occupancy) and fire keyframe cascades — the round-3
         failure mode that inflated 14 sync keyframes to 58 async ones.
 
-        Deferral is bounded: only while a keyframe is actually UNMAPPED
-        (not merely while BA/LC run), at most 4 consecutive frames, and
-        never when the track set is genuinely thinning — an unbounded
-        gate starves the map of keyframes under sustained load and
-        costs far more ATE than the cascade it prevents."""
+        Deferral is bounded and engages only at a REAL backlog (more
+        than one keyframe still unmapped): at most 2 consecutive frames,
+        and never when the track set is genuinely thinning. Deferring on
+        any single unmapped keyframe — the round-4 behavior — stretched
+        every keyframe baseline by up to 4 frames under load and cost
+        ~8x async ATE on the 752x480 arc (0.10 vs 0.013 sync); the
+        reference sheds load by skipping OPTIONAL mapper stages, never
+        by delaying keyframe creation (`mapper.cpp:153-162`)."""
         if self._kf_inflight is not None:
             return False   # one deferred registration at a time
-        if self._unmapped == 0:
+        if self._unmapped <= 1:
             self._kf_deferrals = 0
             return True
         cap = self.cfg.grid_cells[0] * self.cfg.grid_cells[1]
@@ -195,7 +199,7 @@ class AsyncSlamManager(SlamManager):
             self._kf_deferrals = 0
             return True
         self._kf_deferrals += 1
-        if self._kf_deferrals > 4:
+        if self._kf_deferrals > 2:
             self._kf_deferrals = 0
             return True
         return False
@@ -224,7 +228,7 @@ class AsyncSlamManager(SlamManager):
         # caller here is the bounded-memory equivalent. Paced (camera-
         # rate) callers almost never hit this wait.
         with self._pending_cv:
-            deadline = 10.0
+            deadline = float(self.cfg.backpressure_wait_s)
             while self._unmapped > 1 and deadline > 0:
                 self._pending_cv.wait(0.05)
                 deadline -= 0.05
@@ -303,10 +307,34 @@ class AsyncSlamManager(SlamManager):
         if self.cfg.do_track_localmap and not under_pressure:
             self.mapper.match_to_local_map(kfid, lock=self.map_lock)
         if self.cfg.slam_mode:
+            T_kf_pre = self.map.kf_poses[kfid].copy()
             self.estimator.local_ba(kfid, lock=self.map_lock,
                                     extra_window=fold_kfs)
             with self.map_lock:
                 self.estimator.map_filtering(kfid)
+                # propagate BA's pose correction into the live front-end
+                # (the sync manager refreshes f.T_wc inline after BA;
+                # without the async equivalent, tracking integrates from
+                # pre-BA poses forever and the corrections never reach
+                # the trajectory — measured 0.10 vs 0.013 sync ATE on
+                # the 752x480 arc). World-frame delta of THIS keyframe,
+                # left-composed onto the frame pose, the motion model
+                # and the in-flight device chain.
+                if self.map.kf_valid[kfid] \
+                        and int(self.map.kf_seq[kfid]) == seq:
+                    T_kf_post = self.map.kf_poses[kfid]
+                    fe = self.frontend
+                    f = fe.frame
+                    T_old = f.T_wc.copy()
+                    delta = lie_np.pose_compose(
+                        T_kf_post.astype(np.float64),
+                        lie_np.pose_inverse(T_kf_pre.astype(np.float64)))
+                    f.T_wc = lie_np.pose_compose(
+                        delta, f.T_wc.astype(np.float64)).astype(np.float32)
+                    if fe.motion.prev_T is not None:
+                        fe.motion.prev_T = lie_np.pose_compose(
+                            delta, fe.motion.prev_T)
+                    fe.chain_apply_correction(T_old, f.T_wc)
         if self.loop_closer is not None and not under_pressure:
             with self.map_lock:
                 self.loop_closer.process_keyframe(

@@ -25,12 +25,18 @@ BASELINE = 0.11
 def realistic_window_problem(n_kf: int = 28, n_lm: int = 6000,
                              seed: int = 0, noise_px: float = 0.3,
                              pose_sigma: float = 0.01,
-                             lm_sigma: float = 0.03):
+                             lm_sigma: float = 0.03,
+                             skew: float = 0.0):
     """Arc trajectory with sliding covisibility through a real MapStore.
 
     Returns (store, prob, params, gt_poses): ``prob`` is the BAProblem of
     the full n_kf window (stereo rows included), with poses/landmarks
     perturbed from ground truth so the solve has real work to do.
+
+    ``skew``: fraction of landmarks made far-field "hub" points visible
+    from (nearly) the whole window — the skewed-covisibility regime where
+    a contiguous landmark split would overload one shard; exercises the
+    LPT balanced assignment (`dist_ba.balanced_lm_assignment`).
     """
     from ..solvers.ba import BAParams
     import jax.numpy as jnp
@@ -63,6 +69,14 @@ def realistic_window_problem(n_kf: int = 28, n_lm: int = 6000,
     ahead = rng.uniform(2.0, 10.0, n_lm)
     lateral = rng.uniform(-4.0, 4.0, n_lm)
     height = rng.uniform(-2.0, 2.0, n_lm)
+    max_depth = np.full(n_lm, 12.0)
+    n_hub = int(skew * n_lm)
+    if n_hub:
+        # far-field hubs anchored mid-window: visible from most KFs
+        near_kf[:n_hub] = n_kf // 2
+        ahead[:n_hub] = rng.uniform(15.0, 40.0, n_hub)
+        lateral[:n_hub] = rng.uniform(-12.0, 12.0, n_hub)
+        max_depth[:n_hub] = 60.0
     cam_pts = np.stack([lateral, height, ahead], -1)
     lms = lie_np.pose_apply(gt_poses[near_kf].astype(np.float64),
                             cam_pts).astype(np.float32)
@@ -79,7 +93,7 @@ def realistic_window_problem(n_kf: int = 28, n_lm: int = 6000,
         pc = lie_np.pose_apply(T_cw, lms.astype(np.float64))
         u = FX * pc[:, 0] / np.maximum(pc[:, 2], 1e-6) + CX
         v = FY * pc[:, 1] / np.maximum(pc[:, 2], 1e-6) + CY
-        vis = ((pc[:, 2] > 0.5) & (pc[:, 2] < 12.0)
+        vis = ((pc[:, 2] > 0.5) & (pc[:, 2] < max_depth)
                & (u > 8) & (u < W - 8) & (v > 8) & (v < H - 8))
         li = np.nonzero(vis)[0]
         if len(li) > N:

@@ -95,6 +95,13 @@ class SlamConfig:
     # device-chained recurrence (state never returns to host between
     # frames; readbacks trail by `depth` frames and never block)
     pipeline_depth: int = 2
+    # async mode: max seconds the arrival thread blocks when the worker
+    # owes mapping for >1 keyframe. Offline (unpaced) feeding wants a
+    # long wait (bounded-memory absorb, like the reference's growing
+    # input queue without force_realtime); a real-time paced source
+    # should keep it ~1 frame interval and let the INPUT drop frames
+    # instead (`force_realtime`, `ov2slam.cpp:292-299`)
+    backpressure_wait_s: float = 10.0
 
     # --- cameras ----------------------------------------------------------
     cam_left: CameraConfig = dataclasses.field(default_factory=CameraConfig)

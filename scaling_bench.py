@@ -1,29 +1,31 @@
 #!/usr/bin/env python
-"""Distributed-BA scaling sweep on a virtual device mesh.
+"""Distributed-BA scaling evidence on a virtual device mesh.
 
-Measures, for shard counts 1/2/4/8 on a forced-CPU virtual mesh
-(`xla_force_host_platform_device_count`), the quantities that determine
-multi-chip scaling of the sharded Schur BA (`parallel/dist_ba.py`):
+What is MEASURED here (not modeled):
+  - per-shard observation load after the LPT balanced assignment, and its
+    padding overhead — on the uniform sliding-covisibility window AND on
+    a skewed window (25% far-field hub landmarks seen by most KFs), the
+    regime where a contiguous split would collapse,
+  - collective traffic per LM iteration, extracted from the COMPILED HLO
+    of the sharded step (sum of all-reduce/all-gather/reduce-scatter
+    operand bytes) — the actual psum payload XLA emits, not an estimate,
+  - wall time per LM iteration on the virtual mesh (labeled: virtual CPU
+    devices timeshare host cores, so this is NOT a chip-speedup number).
 
-  - per-shard observation load after balanced assignment (ideal = O/n),
-  - padding overhead (wasted rows from shard-size equalization),
-  - work-scaling efficiency = ideal-load / padded-load — the fraction of
-    each chip's compute doing useful work; on real hardware this bounds
-    the achievable frames/s scaling efficiency from above,
-  - measured wall time per LM iteration (reported for transparency; on
-    this 2-core host the 8 virtual devices timeshare cores, so wall time
-    does NOT show the real-chip speedup — work efficiency is the
-    hardware-independent number).
+What must be MODELED on this hardware (one real chip, no multi-chip
+slice): ICI transfer time. We report it as bytes / link-bandwidth with
+the ring-allreduce factor 2(n-1)/n, clearly labeled `ici_us_model`.
+`bench.py --stage dist_scaling` on the TPU backend adds the measured
+single-chip compute time at 8-shard member load, anchoring the
+communication fraction estimate `comm_frac_est = t_ici_model /
+(t_ici_model + t_compute_measured)`.
 
-The same script on a real multi-chip TPU slice (no XLA_FLAGS override)
-produces the true frames/s scaling curve demanded by BASELINE.md
-("≥70% scaling efficiency at 2+ hosts").
-
-Prints ONE JSON line with the per-shard-count sweep.
+Prints ONE JSON line.
 """
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -42,6 +44,39 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 import numpy as np  # noqa: E402
 
 sys.path.insert(0, "/root/repo")
+
+_DT_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "s32": 4,
+             "u64": 8, "u32": 4, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+             "pred": 1}
+
+
+def collective_bytes(compiled_text: str):
+    """Sum the operand bytes of every cross-device collective in the
+    optimized HLO (all-reduce / all-gather / reduce-scatter /
+    collective-permute). Returns (total_bytes, n_ops)."""
+    total, n_ops = 0, 0
+    pat = re.compile(
+        r"=\s*(.+?)\s+(?:all-reduce|all-gather|reduce-scatter|"
+        r"collective-permute)\(")
+    for line in compiled_text.splitlines():
+        if "-start" in line or "-done" in line.split("=")[0]:
+            pass  # async pairs: count the -start (has the shape), skip done
+        m = pat.search(line)
+        if not m or "-done" in line.split("=")[0]:
+            continue
+        shapes = re.findall(r"(\w+)\[([\d,]*)\]", m.group(1))
+        if not shapes:
+            continue
+        n_ops += 1
+        for dt, dims in shapes:
+            if dt not in _DT_BYTES:
+                continue
+            elems = 1
+            for d in dims.split(","):
+                if d:
+                    elems *= int(d)
+            total += elems * _DT_BYTES[dt]
+    return total, n_ops
 
 
 def main():
@@ -75,7 +110,9 @@ def main():
         step = make_distributed_ba(mesh, params, 5.9915, iters)
         poses = jnp.asarray(prob.kf_poses)
         fixed = jnp.asarray(prob.kf_fixed)
-        out = step(poses, fixed, shard_dev)       # compile + run
+        lowered = step.lower(poses, fixed, shard_dev).compile()
+        psum_bytes, n_coll = collective_bytes(lowered.as_text())
+        out = step(poses, fixed, shard_dev)       # run (cached compile)
         jax.block_until_ready(out)
         best = float("inf")
         for _ in range(3):
@@ -83,29 +120,71 @@ def main():
             out = step(poses, fixed, shard_dev)
             jax.block_until_ready(out)
             best = min(best, time.perf_counter() - t0)
+        # modeled ICI time per iteration: ring all-reduce moves
+        # 2(n-1)/n x payload per device over ~45 GB/s/link (v5e)
+        # NOTE: the scan body appears ONCE in the HLO but runs `iters`
+        # times, so the counted collective bytes are already per-iteration
+        ici_us = (2 * (n - 1) / max(n, 1)) * psum_bytes / 45e9 * 1e6
         sweep.append(dict(
-            n_shards=n,
+            n_devices=n,
             obs_per_shard=per_shard,
-            ideal_obs_per_shard=round(ideal, 1),
-            padding_overhead=round(pad, 4),
-            work_scaling_efficiency=round(work_eff, 3),
+            efficiency=round(work_eff, 3),
+            padding=round(pad, 4),
+            psum_bytes=psum_bytes,
+            n_collectives=n_coll,
+            ici_us_model=round(ici_us, 1),
             lm_iter_ms=round(best / iters * 1e3, 1),
             cost=float(out[2]),
         ))
         print(f"# n={n}: eff={work_eff:.1%} pad={pad:.1%} "
-              f"{best / iters * 1e3:.0f} ms/iter", file=sys.stderr)
+              f"coll={psum_bytes}B/iter ({n_coll} ops) "
+              f"ici~{ici_us:.0f}us "
+              f"{best / iters * 1e3:.0f} ms/iter(virtual)", file=sys.stderr)
 
-    eff8 = sweep[-1]["work_scaling_efficiency"]
+    # skewed covisibility: 25% hub landmarks seen from most of the window
+    _, sk_prob, _, sk_gt = realistic_window_problem(
+        n_kf=28, n_lm=6000, skew=0.25)
+    sk_obs = int(np.sum(sk_prob.obs_valid))
+    n = min(8, len(devices))
+    sk_shard = shard_ba_problem(sk_prob, n)
+    sk_pad = shard_padding_overhead(sk_shard)
+    sk_eff = (sk_obs / n) / int(sk_shard["obs_valid"].shape[1])
+    # contiguous split for contrast: pads every shard to the densest
+    counts = np.bincount(
+        np.maximum(sk_prob.obs_lm, 0)[sk_prob.obs_valid],
+        minlength=len(sk_prob.lm_ids))
+    blocks = np.array_split(np.arange(len(counts)), n)
+    contig_max = max(int(counts[b].sum()) for b in blocks)
+    contig_eff = (sk_obs / n) / max(contig_max, 1)
+    # the skewed problem must also SOLVE on the mesh
+    mesh = Mesh(np.asarray(devices[:n]), (AXIS,))
+    step = make_distributed_ba(mesh, params, 5.9915, 3)
+    out = step(jnp.asarray(sk_prob.kf_poses),
+               jnp.asarray(sk_prob.kf_fixed),
+               put_sharded(mesh, sk_shard))
+    jax.block_until_ready(out)
+    skew_row = dict(n_devices=n, n_obs=sk_obs,
+                    efficiency=round(sk_eff, 3),
+                    padding=round(sk_pad, 4),
+                    contiguous_efficiency=round(contig_eff, 3),
+                    cost=float(out[2]))
+    print(f"# skew: eff={sk_eff:.1%} (contiguous would be "
+          f"{contig_eff:.1%}), cost={float(out[2]):.1f}", file=sys.stderr)
+
+    eff8 = sweep[-1]["efficiency"]
     result = {
-        "metric": "ba_work_scaling_efficiency_8shard",
+        "metric": "dist_ba_8shard",
         "value": eff8,
-        "unit": "fraction",
+        "unit": "work-scaling efficiency (balanced shards)",
         "vs_baseline": round(eff8 / 0.70, 2),   # BASELINE.md: >=70%
         "problem": f"28 KFs / 6000 lms / {n_obs} obs (MapStore window)",
         "sweep": sweep,
-        "note": "wall times on virtual CPU mesh timeshare 2 cores; "
-                "work_scaling_efficiency is the hardware-independent "
-                "upper bound on multi-chip frames/s efficiency",
+        "skew": skew_row,
+        "note": "lm_iter_ms from virtual CPU devices timesharing host "
+                "cores (NOT chip speedup); psum_bytes measured from "
+                "compiled HLO; ici_us_model = ring-allreduce bytes / "
+                "45 GB/s v5e ICI; see bench.py dist_scaling for the "
+                "TPU-measured compute anchor",
     }
     print(json.dumps(result))
 
