@@ -294,7 +294,7 @@ class FrontEnd:
                 do_epipolar=cfg.do_epipolar, do_pose=do_pose,
                 ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
                 fisheye=self._fisheye, use_prior=cfg.klt_use_prior,
-                debug=debug)
+                debug=debug, split_sub=cfg.klt_split_sub)
         if debug:
             cur_pyr, packed, self._key_dev, dbg = out
             self.last_debug = jax.tree_util.tree_map(np.asarray, dbg)
@@ -417,7 +417,8 @@ class FrontEnd:
             iters=cfg.max_iter, use_clahe=cfg.use_clahe,
             do_epipolar=cfg.do_epipolar, do_pose=True,
             ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
-            fisheye=self._fisheye, use_prior=cfg.klt_use_prior)
+            fisheye=self._fisheye, use_prior=cfg.klt_use_prior,
+            split_sub=cfg.klt_split_sub)
         self._chain_S = S_out
         self._chain_pyr = cur_pyr
         try:

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..core.camera import distort_fisheye, distort_radtan
 from ..core.image import build_pyramid, clahe
 from ..geometry.essential import essential_ransac
-from ..ops.klt import klt_track
+from ..ops.klt import fb_klt_track_split, klt_track
 from ..solvers.pnp_refine import pnp_refine
 from ..utils import lie
 
@@ -128,7 +128,7 @@ def fused_detect_describe(img, px, valid, thresh, calib: CalibArrays,
     "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
     "ransac_iters", "pnp_iters", "fisheye", "use_prior", "debug",
     "clahe_val", "max_fbklt_dist", "klt_err", "ransac_err_px",
-    "robust_th"))
+    "robust_th", "split_sub"))
 def fused_track_step(
     img,                     # (H, W) raw current frame (uint8 or f32)
     prev_pyr,                # tuple of prev-frame pyramid levels
@@ -151,6 +151,7 @@ def fused_track_step(
     fisheye: bool = False,
     use_prior: bool = True,
     debug: bool = False,
+    split_sub: int = 0,
 ):
     """Returns (cur_pyr, packed, key_next) where packed is an (N+3, 5) f32
     array — rows 0..N-1 hold [tracked_px(2) | und(2) | status], the 3 tail
@@ -179,7 +180,7 @@ def fused_track_step(
         levels=levels, win=win, iters=iters, use_clahe=use_clahe,
         do_epipolar=do_epipolar, do_pose=do_pose,
         ransac_iters=ransac_iters, pnp_iters=pnp_iters, fisheye=fisheye,
-        use_prior=use_prior, debug=debug)
+        use_prior=use_prior, debug=debug, split_sub=split_sub)
 
 
 def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
@@ -187,7 +188,7 @@ def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
                 clahe_val, max_fbklt_dist, klt_err, ransac_err_px,
                 robust_th, levels, win, iters, use_clahe, do_epipolar,
                 do_pose, ransac_iters, pnp_iters, fisheye, use_prior,
-                debug):
+                debug, split_sub=0):
     """Shared per-frame device computation (traced inside both the
     host-packed and the device-chained entry points)."""
     img = img.astype(jnp.float32)
@@ -212,12 +213,27 @@ def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
     priors = jnp.where(proj_ok[:, None], proj, px) if use_prior else px
 
     # --- forward-backward KLT ------------------------------------------ #
-    fwd, st_f, _ = klt_track(prev_pyr, cur_pyr, px, priors, valid,
-                             win=win, iters=iters, max_err=klt_err)
-    bwd, st_b, _ = klt_track((cur_pyr[0],), (prev_pyr[0],), fwd, px, st_f,
-                             win=win, iters=iters, max_err=klt_err)
-    fb = jnp.linalg.norm(bwd - px, axis=-1)
-    status = st_f & st_b & (fb <= max_fbklt_dist)
+    # 3D/2D split (`visual_front_end.cpp:187-271`): 3D kps with an
+    # in-image projected prior fb-track on the base level only; fb
+    # failures and 2D kps get the full fb pyramid via a compacted
+    # half-batch retry (see ops/klt.fb_klt_track_split — the fb gate is
+    # internal there). Only meaningful once PnP runs and priors are on
+    # (pre-init there are no 3D kps to split out).
+    if split_sub > 0 and do_pose and use_prior:
+        fwd, status = fb_klt_track_split(
+            prev_pyr, cur_pyr, px, priors, valid, proj_ok,
+            n_sub=split_sub, win=win, iters=iters, max_err=klt_err,
+            max_fb_dist=max_fbklt_dist)
+        st_f = st_b = status
+        fb = jnp.zeros(px.shape[0], px.dtype)
+    else:
+        fwd, st_f, _ = klt_track(prev_pyr, cur_pyr, px, priors, valid,
+                                 win=win, iters=iters, max_err=klt_err)
+        bwd, st_b, _ = klt_track((cur_pyr[0],), (prev_pyr[0],), fwd, px,
+                                 st_f, win=win, iters=iters,
+                                 max_err=klt_err)
+        fb = jnp.linalg.norm(bwd - px, axis=-1)
+        status = st_f & st_b & (fb <= max_fbklt_dist)
     tracked = jnp.where(status[:, None], fwd, px)
     dbg = {}
     if debug:
@@ -369,7 +385,7 @@ def pack_chain_state(px, px_und, status, T_cur, T_prev, out=None):
     "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
     "ransac_iters", "pnp_iters", "fisheye", "use_prior",
     "clahe_val", "max_fbklt_dist", "klt_err", "ransac_err_px",
-    "robust_th"))
+    "robust_th", "split_sub"))
 def fused_track_step_chained(
     img, prev_pyr, S_prev, lm_static, dt_ratio, key,
     calib: CalibArrays,
@@ -388,6 +404,7 @@ def fused_track_step_chained(
     pnp_iters: int = 10,
     fisheye: bool = False,
     use_prior: bool = True,
+    split_sub: int = 0,
 ):
     """Returns (cur_pyr, S_out, packed, key_next).
 
@@ -427,7 +444,7 @@ def fused_track_step_chained(
         levels=levels, win=win, iters=iters, use_clahe=use_clahe,
         do_epipolar=do_epipolar, do_pose=do_pose,
         ransac_iters=ransac_iters, pnp_iters=pnp_iters, fisheye=fisheye,
-        use_prior=use_prior, debug=False)
+        use_prior=use_prior, debug=False, split_sub=split_sub)
 
     T_new = jnp.concatenate([packed[N + 1, :5], packed[N + 2, :2]])
     S_out = jnp.zeros_like(S_prev)

@@ -150,6 +150,87 @@ def klt_track(
     return kps + flow, status, residual
 
 
+@partial(jax.jit, static_argnames=("win", "iters", "margin", "n_sub"))
+def fb_klt_track_split(
+    pyr_prev: Tuple[jnp.ndarray, ...],
+    pyr_cur: Tuple[jnp.ndarray, ...],
+    kps, priors, valid, base_only,
+    n_sub: int,
+    win: int = 9, iters: int = 30, eps: float = 0.01,
+    min_eig_th: float = 1e-4, max_err: float = 30.0,
+    max_fb_dist: float = 0.5, margin: int = 5,
+):
+    """3D/2D split forward-backward KLT — the reference's two-pass
+    tracking (`visual_front_end.cpp:187-271`) re-expressed for
+    fixed-shape batching.
+
+    The reference fb-tracks 3D map points over ONE pyramid level, seeded
+    by their projected prior; 2D keypoints AND any 3D kp that failed the
+    prior pass are then fb-tracked over the full pyramid from their
+    previous position (the prior already failed — pass 2 deliberately
+    does not reuse it). Half the per-frame KLT level-loop work at the
+    operating point, and better turn robustness (projected priors don't
+    drift through coarse levels the way pyramid initialization does).
+
+    Fixed-shape version:
+      pass 1: base-level-only forward + backward + fb gate, prior-
+              seeded, ALL N rows. The fb gate INSIDE the pass matters:
+              under a bad prior the base level often false-converges
+              within the search margin with an acceptable residual, and
+              without the gate those rows would skip their pyramid
+              retry only to die downstream.
+      pass 2: all 2D kps and the fb failures of pass 1, compacted
+              (stable argsort gather) into an ``n_sub``-row batch that
+              runs the full fb pyramid from px.
+    Total level-loop rows: 2N + (levels+1)*n_sub vs (levels+1)*N for
+    fb_klt_track (~10% less at n_sub = N/2, levels = 4, plus most rows
+    never touch the upper pyramid). Overflow (more than n_sub failures —
+    e.g. right after bootstrapping, before triangulation) degrades
+    gracefully: the extras keep their (failed) pass-1 status and are
+    re-detected at the next keyframe.
+
+    Returns (tracked (N, 2), status (N,)) — status is fb-validated;
+    callers must NOT run another backward pass on top.
+    """
+    N = kps.shape[0]
+    # pass 1: prior-seeded fb at the base level, everyone
+    base_prev = (pyr_prev[0],)
+    base_cur = (pyr_cur[0],)
+    fwd1, st1f, _ = klt_track(
+        base_prev, base_cur, kps, priors, valid,
+        win=win, iters=iters, eps=eps, min_eig_th=min_eig_th,
+        max_err=max_err, margin=margin)
+    bwd1, st1b, _ = klt_track(
+        base_cur, base_prev, fwd1, kps, st1f,
+        win=win, iters=iters, eps=eps, min_eig_th=min_eig_th,
+        max_err=max_err, margin=margin)
+    st1 = st1f & st1b & (jnp.linalg.norm(bwd1 - kps, axis=-1)
+                         <= max_fb_dist)
+
+    # pass 2 membership: ALL 2D kps (reference semantics — without a
+    # projected prior, a base-level track can false-converge onto an
+    # fb-consistent wrong minimum within the search margin; only the
+    # pyramid resolves large flows) plus prior-pass failures. For 3D
+    # kps the prior bounds the error: a false minimum is clamped to
+    # within ``margin`` px of a ~1px-accurate projection, and the
+    # epipolar/PnP chi2 gates downstream kill those, as in the
+    # reference.
+    need2 = valid & ((~base_only) | (~st1))
+    idx = jnp.argsort(~need2, stable=True)[:n_sub]
+    s_sel = need2[idx]
+    s_kps = kps[idx]
+    fwd2, st2 = fb_klt_track(
+        pyr_prev, pyr_cur, s_kps, s_kps, s_sel,
+        win=win, iters=iters, eps=eps, min_eig_th=min_eig_th,
+        max_err=max_err, max_fb_dist=max_fb_dist, margin=margin)
+
+    # merge: pass-2 result wins for its rows; everyone else keeps pass 1
+    fwd = jnp.where(st1[:, None], fwd1, kps)
+    fwd = fwd.at[idx].set(jnp.where(s_sel[:, None], fwd2, fwd[idx]))
+    status = st1.at[idx].set(jnp.where(s_sel, st2, st1[idx]))
+    return fwd, status
+
+
 @partial(jax.jit, static_argnames=("win", "iters", "back_levels", "margin"))
 def fb_klt_track(
     pyr_prev: Tuple[jnp.ndarray, ...],

@@ -133,6 +133,18 @@ class SlamConfig:
     max_px_precision: float = 0.01  # `fmax_px_precision`
     max_fbklt_dist: float = 0.5     # forward-backward check threshold
     klt_err: float = 30.0           # min-eigenvalue/error gate (`nklt_err`)
+    # 3D/2D split tracking (`visual_front_end.cpp:187-271`): 3D kps with a
+    # projected prior run the BASE level only; 2D kps and prior failures
+    # get the full pyramid, compacted into a half-capacity batch
+    # (ops/klt.fb_klt_track_split). DEFAULT OFF: measured on TPU v5e the
+    # fused step is epipolar-RANSAC-dominated (KLT 1.9 ms of 4.9 ms), so
+    # the split's level-loop savings buy ~0 fps, while base-level-only
+    # tracking of 3D kps costs accuracy on rotation-heavy sequences
+    # (loop endpoint err 0.06 -> 0.18 m) — the reference's motivation
+    # (halving CPU level-loop work, a real win single-kp-at-a-time)
+    # doesn't transfer to batched fixed-shape dispatch.
+    klt_3d2d_split: bool = False
+    klt_split_frac: float = 0.5     # pyramid-batch capacity / max_kps
 
     # --- matching ----------------------------------------------------------
     do_track_localmap: bool = True
@@ -197,6 +209,15 @@ class SlamConfig:
     def klt_levels(self) -> int:
         """Total pyramid levels = nklt_pyr_lvl + 1 (base)."""
         return self.klt_pyr_lvl + 1
+
+    @property
+    def klt_split_sub(self) -> int:
+        """Static pyramid-subset capacity for the 3D/2D split tracker
+        (0 = split disabled); lane-aligned like max_kps."""
+        if not self.klt_3d2d_split:
+            return 0
+        n = int(math.ceil(self.max_kps * self.klt_split_frac))
+        return min(self.max_kps, ((n + 127) // 128) * 128)
 
     def validate(self) -> "SlamConfig":
         if self.stereo and self.cam_right is None:

@@ -388,3 +388,67 @@ def test_gftt_two_pass_fills_weak_cells():
                              jnp.zeros(N, bool), th, cell_size=40,
                              max_out=N, two_pass=True)
     assert int(np.array(ok2).sum()) > int(np.array(ok1).sum())
+
+
+def test_fb_klt_split_matches_and_retries():
+    """3D/2D split tracker (`visual_front_end.cpp:187-271` semantics):
+    with a GOOD prior the base-only pass must land where the full
+    pyramid does; with a BAD prior the pass-2 pyramid retry must recover
+    the track; and 2D kps (base_only=False) must track through the
+    pyramid as usual."""
+    from ov2slam_tpu.ops.klt import fb_klt_track_split
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0, 255, size=(240, 320)).astype(np.float32)
+    base = np.array(gaussian_blur(jnp.asarray(base), 2.0, 4))
+    shift = (11.0, -7.0)
+    from ov2slam_tpu.core.camera import bilinear_sample
+    yy, xx = np.meshgrid(np.arange(240, dtype=np.float32),
+                         np.arange(320, dtype=np.float32), indexing="ij")
+    cur = bilinear_sample(
+        jnp.asarray(base),
+        jnp.asarray(np.stack([xx - shift[0], yy - shift[1]], -1)))
+
+    N = 64
+    kps = jnp.asarray(
+        rng.uniform([40, 40], [280, 200], size=(N, 2)).astype(np.float32))
+    valid = jnp.ones(N, bool)
+    pyr_p = tuple(build_pyramid(jnp.asarray(base), 4))
+    pyr_c = tuple(build_pyramid(cur, 4))
+
+    good_prior = kps + jnp.asarray(shift, jnp.float32)
+
+    # (a) good prior, all base_only: pass 1 should do nearly all the work
+    trk, st = fb_klt_track_split(pyr_p, pyr_c, kps, good_prior, valid,
+                                 jnp.ones(N, bool), n_sub=32,
+                                 win=9, iters=30, max_fb_dist=0.5)
+    st = np.array(st)
+    assert st.mean() > 0.7
+    flow = np.array(trk)[st] - np.array(kps)[st]
+    np.testing.assert_allclose(np.median(flow, 0), shift, atol=0.1)
+
+    # (b) mixed population at limited capacity: 3D kps with good priors
+    # resolve in pass 1 (base only), leaving the subset for the 2D half,
+    # which must still get the pyramid and find the 11px flow
+    base_only = jnp.asarray(np.arange(N) % 2 == 0)
+    mixed_prior = jnp.where(base_only[:, None], good_prior, kps)
+    trk2, st2 = fb_klt_track_split(pyr_p, pyr_c, kps, mixed_prior, valid,
+                                   base_only, n_sub=N // 2,
+                                   win=9, iters=30, max_fb_dist=0.5)
+    st2 = np.array(st2)
+    for sel in (np.array(base_only), ~np.array(base_only)):
+        grp = st2 & sel
+        assert grp.sum() > 0.55 * sel.sum(), (grp.sum(), sel.sum())
+        flow2 = np.array(trk2)[grp] - np.array(kps)[grp]
+        np.testing.assert_allclose(np.median(flow2, 0), shift, atol=0.1)
+
+    # (c) all-2D (base_only False): equivalent to the plain fb tracker
+    trk3, st3 = fb_klt_track_split(pyr_p, pyr_c, kps, kps, valid,
+                                   jnp.zeros(N, bool), n_sub=N,
+                                   win=9, iters=30, max_fb_dist=0.5)
+    ref, st_ref = fb_klt_track(pyr_p, pyr_c, kps, kps, valid,
+                               win=9, iters=30, max_fb_dist=0.5)
+    both = np.array(st3) & np.array(st_ref)
+    assert both.mean() > 0.6
+    d = np.abs(np.array(trk3) - np.array(ref))[both]
+    assert d.max() < 0.5, f"split vs plain divergence {d.max():.2f}px"

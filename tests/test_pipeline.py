@@ -100,3 +100,81 @@ def test_async_stress_backlog_and_fold():
     # under this much induced delay the queue must have backlogged at
     # least once, exercising the fold path
     assert len(folded) >= 1, "backlog never happened — stress ineffective"
+
+
+@pytest.mark.slow
+def test_async_paced_arrival_bench_conditions():
+    """Online accuracy at BENCH conditions (round-4 verdict #10): 752x480
+    stereo + full photometric realism + paced arrival with force_realtime
+    dropping — the protocol `bench.py`'s e2e_async20/40 stages run on TPU
+    (`rosbag play -r 1.0` analogue, reference `ov2slam.cpp:292-299`).
+
+    CI runs on CPU where absolute throughput is ~20x lower than the TPU,
+    so a fixed 20 fps pace would just measure the host. Instead the pace
+    is set to 75% of the measured flat-out rate: the arrival scheduler,
+    input-side load shedding and backpressure_wait_s semantics are
+    exercised identically, and the accuracy gate is hardware-independent.
+    On TPU this paces at ~30 fps."""
+    import time as _t
+
+    from ov2slam_tpu.io.synthetic import DEFAULT_REALISM, stream_sequence
+    from ov2slam_tpu.utils.profiles import apply_profile
+
+    n_frames = 110
+    seq = stream_sequence(n_frames=n_frames, stereo=True, width=752,
+                          height=480, n_points=8000, seed=0, kind="arc",
+                          speed=0.05, realism=DEFAULT_REALISM)
+    frames = list(seq)
+    cfg = seq.make_config()
+    apply_profile(cfg, "fast")
+    cfg.pipelined_frontend = True
+    cfg.pipeline_depth = 2
+    cfg.validate()
+    slam = AsyncSlamManager(cfg)
+    try:
+        # warm compile caches + measure the flat-out steady rate
+        n_warm = 30
+        walls = []
+        for left, right, t in frames[:n_warm]:
+            t0 = _t.perf_counter()
+            slam.process_frame(left, right, t)
+            walls.append(_t.perf_counter() - t0)
+        med = float(np.median(walls[10:]))
+        pace_fps = 0.75 / max(med, 1e-6)
+        interval = 1.0 / pace_fps
+        cfg.backpressure_wait_s = 2.0 * interval
+
+        n_dropped = 0
+        t_all0 = _t.perf_counter()
+        i = n_warm
+        while i < len(frames):
+            t_sched = t_all0 + (i - n_warm) * interval
+            now = _t.perf_counter()
+            if now < t_sched:
+                _t.sleep(t_sched - now)
+            elif now > t_sched + interval and i < len(frames) - 1:
+                n_behind = min(int((now - t_sched) / interval),
+                               len(frames) - 1 - i)
+                i += n_behind
+                n_dropped += n_behind
+            left, right, t = frames[i]
+            slam.process_frame(left, right, t)
+            i += 1
+        slam.flush()
+        assert getattr(slam, "n_worker_errors", 0) == 0
+        times, poses = slam.estimated_trajectory()
+        gt_t = np.asarray(seq.times)
+        gt = np.asarray(seq.gt_poses)
+        idx = np.clip(np.searchsorted(gt_t, times), 0, len(gt) - 1)
+        ate = ate_rmse(poses, gt[idx], align_scale=False)
+        n_proc = len(times)
+        # <=10% drops at 75% pacing, and online ATE parity with the sync
+        # path (sync on this sequence is ~0.013-0.015 m; 0.05 m = the
+        # round-4 ask's gate)
+        assert n_dropped <= 0.10 * (n_frames - n_warm), \
+            f"dropped {n_dropped}/{n_frames - n_warm} at 75% pacing"
+        assert ate < 0.05, \
+            f"paced async ATE {ate:.3f} m ({n_proc} frames, " \
+            f"{n_dropped} dropped, pace {pace_fps:.1f} fps)"
+    finally:
+        slam.close()
