@@ -98,6 +98,18 @@ def run_sequence(cfg: SlamConfig, frames, times=None,
 
         os.makedirs(out_dir, exist_ok=True)
         slam.write_results(out_dir)
+        # interactive 3D viewer (python_files/open3d_visualize_pose.py
+        # role): trajectory + KF frusta + map cloud in one HTML file
+        try:
+            from .viz import export_html_viewer
+
+            _, traj = slam.estimated_trajectory()
+            kf_sel = np.nonzero(slam.map.kf_valid)[0]
+            export_html_viewer(
+                traj, slam.map, os.path.join(out_dir, "viewer.html"),
+                kf_poses=slam.map.kf_poses[kf_sel])
+        except Exception:   # viewer is best-effort; never fail a run
+            pass
 
     est_times, est_poses = slam.estimated_trajectory()
     result = RunResult(

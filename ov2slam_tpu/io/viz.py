@@ -124,3 +124,107 @@ def export_trajectory_ply(poses: Sequence[np.ndarray], path: str,
         verts.extend(pts)
         edges.extend([(off + a, off + b) for a, b in _FRUSTUM_EDGES])
     export_ply(np.asarray(verts), path, edges=np.asarray(edges))
+
+
+# --------------------------------------------------------------------- #
+# interactive HTML viewer — the `python_files/open3d_visualize_pose.py`
+# role (trajectory polyline + camera frusta + landmark cloud in an
+# orbitable 3D view) without the open3d/GUI dependency: one
+# self-contained file, vanilla-JS canvas renderer, open in any browser.
+# --------------------------------------------------------------------- #
+
+_VIEWER_JS = r"""
+const D = window.SLAM_DATA;
+const cv = document.getElementById('c');
+const ctx = cv.getContext('2d');
+let W, H; function rs(){W=cv.width=innerWidth;H=cv.height=innerHeight;draw();}
+let yaw=-0.6, pitch=-0.45, dist=0, cx=0, cy=0, cz=0, panx=0, pany=0;
+// center + scale from trajectory bounds
+(function(){
+  const t=D.traj; let mn=[1e9,1e9,1e9], mx=[-1e9,-1e9,-1e9];
+  for(const p of t){for(let k=0;k<3;k++){mn[k]=Math.min(mn[k],p[k]);mx[k]=Math.max(mx[k],p[k]);}}
+  cx=(mn[0]+mx[0])/2; cy=(mn[1]+mx[1])/2; cz=(mn[2]+mx[2])/2;
+  dist=2.5*Math.max(mx[0]-mn[0],mx[1]-mn[1],mx[2]-mn[2],1e-3);
+})();
+function proj(p){
+  let x=p[0]-cx, y=p[1]-cy, z=p[2]-cz;
+  let x1=x*Math.cos(yaw)+z*Math.sin(yaw), z1=-x*Math.sin(yaw)+z*Math.cos(yaw);
+  let y1=y*Math.cos(pitch)-z1*Math.sin(pitch), z2=y*Math.sin(pitch)+z1*Math.cos(pitch);
+  let zc=z2+dist; if(zc<1e-3) return null;
+  const f=0.9*Math.min(W,H);
+  return [W/2+f*x1/zc+panx, H/2+f*y1/zc+pany, zc];
+}
+function line(a,b,st,w){const A=proj(a),B=proj(b); if(!A||!B)return;
+  ctx.strokeStyle=st; ctx.lineWidth=w||1; ctx.beginPath();
+  ctx.moveTo(A[0],A[1]); ctx.lineTo(B[0],B[1]); ctx.stroke();}
+function draw(){
+  ctx.fillStyle='#101014'; ctx.fillRect(0,0,W,H);
+  // landmark cloud, depth-tinted
+  for(const p of D.points){const P=proj(p); if(!P)continue;
+    const s=Math.max(1, 3-P[2]/dist*2);
+    ctx.fillStyle=`hsl(${180+40*Math.sin(p[1])},60%,${Math.max(25,70-P[2]/dist*40)}%)`;
+    ctx.fillRect(P[0],P[1],s,s);}
+  // trajectory polyline
+  for(let i=1;i<D.traj.length;i++) line(D.traj[i-1],D.traj[i],'#ff5050',2);
+  // keyframe frusta
+  const E=[[0,1],[0,2],[0,3],[0,4],[1,2],[2,3],[3,4],[4,1]];
+  for(const f of D.frusta) for(const e of E) line(f[e[0]],f[e[1]],'#40c0ff',1);
+  // loop-closure edges
+  for(const e of (D.lc||[])) line(D.traj[e[0]],D.traj[e[1]],'#ffe050',1.5);
+  ctx.fillStyle='#aaa'; ctx.font='12px monospace';
+  ctx.fillText(`${D.traj.length} poses  ${D.points.length} landmarks  `+
+               `${D.frusta.length} KF frusta  drag=orbit wheel=zoom shift-drag=pan`,10,18);
+}
+let drag=false,px=0,py=0,shift=false;
+cv.onmousedown=e=>{drag=true;px=e.clientX;py=e.clientY;shift=e.shiftKey;};
+window.onmouseup=()=>drag=false;
+window.onmousemove=e=>{if(!drag)return;
+  const dx=e.clientX-px, dy=e.clientY-py; px=e.clientX; py=e.clientY;
+  if(shift){panx+=dx;pany+=dy;} else {yaw+=dx*0.008; pitch+=dy*0.008;}
+  draw();};
+cv.onwheel=e=>{e.preventDefault(); dist*=Math.exp(e.deltaY*0.001); draw();};
+window.onresize=rs; rs();
+"""
+
+
+def export_html_viewer(poses, map_store_or_points, path: str,
+                       kf_poses=None, lc_pairs=None,
+                       max_points: int = 60000,
+                       frustum_scale: float = 0.12) -> str:
+    """Interactive 3D map/trajectory viewer as ONE self-contained HTML
+    file (no open3d, no network, no GUI dependency — open in a browser).
+
+    Covers the reference's `python_files/open3d_visualize_pose.py` role:
+    trajectory polyline, periodic camera frusta, landmark point cloud,
+    orbit/zoom/pan. ``map_store_or_points`` is a MapStore (valid 3D
+    landmarks are exported) or an (N, 3) array. ``lc_pairs`` draws
+    loop-closure edges as (i, j) trajectory-index pairs.
+    """
+    import json as _json
+
+    poses = np.asarray(poses, np.float64)
+    traj = poses[:, 4:7]
+    if hasattr(map_store_or_points, "lm_valid"):
+        m = map_store_or_points
+        pts = m.lm_pos[m.lm_valid & m.lm_is3d]
+    else:
+        pts = np.asarray(map_store_or_points, np.float64).reshape(-1, 3)
+    if len(pts) > max_points:
+        pts = pts[np.linspace(0, len(pts) - 1, max_points).astype(int)]
+    fr_src = np.asarray(kf_poses, np.float64) if kf_poses is not None \
+        else poses[:: max(len(poses) // 64, 1)]
+    frusta = [camera_frustum_points(T, frustum_scale).round(4).tolist()
+              for T in fr_src]
+    data = dict(traj=traj.round(4).tolist(),
+                points=pts.round(3).tolist(),
+                frusta=frusta,
+                lc=[[int(a), int(b)] for a, b in (lc_pairs or [])])
+    html = ("<!doctype html><html><head><meta charset='utf-8'>"
+            "<title>ov2slam_tpu map</title>"
+            "<style>body{margin:0;overflow:hidden}</style></head><body>"
+            "<canvas id='c'></canvas>"
+            f"<script>window.SLAM_DATA={_json.dumps(data)};</script>"
+            f"<script>{_VIEWER_JS}</script></body></html>")
+    with open(path, "w") as f:
+        f.write(html)
+    return path

@@ -146,6 +146,9 @@ class FrontEnd:
         self._chain_dt = 0.0
         self._lm_buf = np.zeros((cfg.max_kps + 1, 8), np.float32)
         self._chain_buf = np.zeros((cfg.max_kps + 2, 8), np.float32)
+        # from-KF tracking (`btrack_keyframetoframe`): the reference
+        # keyframe's device pyramid, captured at detection time
+        self._kf_pyr = None
 
     # ------------------------------------------------------------------ #
 
@@ -266,6 +269,12 @@ class FrontEnd:
         self.prof.start("0.FE_dispatch")
         do_pose = bool(self.initialized)
         debug = getattr(self, "debug_gates", False)
+        # `kltTrackingFromKF` (`visual_front_end.cpp:278-442`): replaces
+        # frame-to-frame tracking when enabled and a KF pyramid exists
+        # (classic path only — the device chain tracks frame-to-frame)
+        from_kf = bool(cfg.track_keyframetoframe and do_pose
+                       and self._kf_pyr is not None)
+        kf_pyr = self._kf_pyr if from_kf else None
         state = pack_track_state(f.px, lm_pos, kf_px, f.valid, is3d,
                                  pair_valid, np.asarray(T_pred, np.float32),
                                  np.asarray(T_kf, np.float32),
@@ -294,7 +303,8 @@ class FrontEnd:
                 do_epipolar=cfg.do_epipolar, do_pose=do_pose,
                 ransac_iters=cfg.ransac_iter, pnp_iters=cfg.pnp_iters,
                 fisheye=self._fisheye, use_prior=cfg.klt_use_prior,
-                debug=debug, split_sub=cfg.klt_split_sub)
+                debug=debug, split_sub=cfg.klt_split_sub,
+                kf_pyr=kf_pyr, track_from_kf=from_kf)
         if debug:
             cur_pyr, packed, self._key_dev, dbg = out
             self.last_debug = jax.tree_util.tree_map(np.asarray, dbg)
@@ -780,6 +790,9 @@ class FrontEnd:
             desc[slot] = desc_all[N + i]
             new_rows.append(slot)
         new_rows = np.array(new_rows, np.int64)
+        # this frame is becoming the reference keyframe: its pyramid is
+        # the from-KF tracking source until the next keyframe
+        self._kf_pyr = ki.get("pyr_snap") or self.cur_pyr
         if len(new_rows):
             # chain bookkeeping: these slots exist only from the NEXT
             # dispatch on (device recurrence patched then; older
@@ -838,4 +851,5 @@ class FrontEnd:
         self._chain_last_time = None
         self._chain_dt = 0.0
         self._slot_birth[:] = 0
+        self._kf_pyr = None
         self.initialized = self.cfg.stereo

@@ -128,7 +128,7 @@ def fused_detect_describe(img, px, valid, thresh, calib: CalibArrays,
     "levels", "win", "iters", "use_clahe", "do_epipolar", "do_pose",
     "ransac_iters", "pnp_iters", "fisheye", "use_prior", "debug",
     "clahe_val", "max_fbklt_dist", "klt_err", "ransac_err_px",
-    "robust_th", "split_sub"))
+    "robust_th", "split_sub", "track_from_kf"))
 def fused_track_step(
     img,                     # (H, W) raw current frame (uint8 or f32)
     prev_pyr,                # tuple of prev-frame pyramid levels
@@ -152,6 +152,8 @@ def fused_track_step(
     use_prior: bool = True,
     debug: bool = False,
     split_sub: int = 0,
+    kf_pyr=None,
+    track_from_kf: bool = False,
 ):
     """Returns (cur_pyr, packed, key_next) where packed is an (N+3, 5) f32
     array — rows 0..N-1 hold [tracked_px(2) | und(2) | status], the 3 tail
@@ -180,7 +182,8 @@ def fused_track_step(
         levels=levels, win=win, iters=iters, use_clahe=use_clahe,
         do_epipolar=do_epipolar, do_pose=do_pose,
         ransac_iters=ransac_iters, pnp_iters=pnp_iters, fisheye=fisheye,
-        use_prior=use_prior, debug=debug, split_sub=split_sub)
+        use_prior=use_prior, debug=debug, split_sub=split_sub,
+        kf_pyr=kf_pyr, track_from_kf=track_from_kf)
 
 
 def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
@@ -188,7 +191,7 @@ def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
                 clahe_val, max_fbklt_dist, klt_err, ransac_err_px,
                 robust_th, levels, win, iters, use_clahe, do_epipolar,
                 do_pose, ransac_iters, pnp_iters, fisheye, use_prior,
-                debug, split_sub=0):
+                debug, split_sub=0, kf_pyr=None, track_from_kf=False):
     """Shared per-frame device computation (traced inside both the
     host-packed and the device-chained entry points)."""
     img = img.astype(jnp.float32)
@@ -219,7 +222,31 @@ def _track_body(img, prev_pyr, px, valid, lm_pos, kf_px_und, lm_is3d,
     # half-batch retry (see ops/klt.fb_klt_track_split — the fb gate is
     # internal there). Only meaningful once PnP runs and priors are on
     # (pre-init there are no 3D kps to split out).
-    if split_sub > 0 and do_pose and use_prior:
+    if track_from_kf and do_pose:
+        # `kltTrackingFromKF` (`visual_front_end.cpp:278-442`): track
+        # FROM the reference keyframe's image instead of the previous
+        # frame — drift does not accumulate while the same kps stay
+        # visible. Start positions are the slot's pixel in the KF
+        # (recovered on device by re-distorting the stored undistorted
+        # KF pixel); priors are the landmark projection (3D, tracked
+        # over 2 levels) or the current tracked position (2D + prior
+        # failures, full pyramid). Slots without a KF observation are
+        # dropped, as the reference does (`:314-318,348-350`).
+        fxy = jnp.stack([calib.fx, calib.fy])
+        cxy = jnp.stack([calib.cx, calib.cy])
+        dist_fn = distort_fisheye if fisheye else distort_radtan
+        kf_raw = dist_fn((kf_px_und - cxy) / fxy, calib.dist) * fxy + cxy
+        src = jnp.where(kf_pair_valid[:, None], kf_raw, px)
+        valid_kf = valid & kf_pair_valid
+        fwd, status = fb_klt_track_split(
+            kf_pyr, cur_pyr, src, jnp.where(proj_ok[:, None], proj, px),
+            valid_kf, proj_ok & use_prior,
+            n_sub=(split_sub if split_sub > 0 else px.shape[0]),
+            win=win, iters=iters, max_err=klt_err,
+            max_fb_dist=max_fbklt_dist, n_base_levels=2, priors2=px)
+        st_f = st_b = status
+        fb = jnp.zeros(px.shape[0], px.dtype)
+    elif split_sub > 0 and do_pose and use_prior:
         fwd, status = fb_klt_track_split(
             prev_pyr, cur_pyr, px, priors, valid, proj_ok,
             n_sub=split_sub, win=win, iters=iters, max_err=klt_err,

@@ -150,7 +150,8 @@ def klt_track(
     return kps + flow, status, residual
 
 
-@partial(jax.jit, static_argnames=("win", "iters", "margin", "n_sub"))
+@partial(jax.jit, static_argnames=("win", "iters", "margin", "n_sub",
+                                   "n_base_levels"))
 def fb_klt_track_split(
     pyr_prev: Tuple[jnp.ndarray, ...],
     pyr_cur: Tuple[jnp.ndarray, ...],
@@ -159,6 +160,7 @@ def fb_klt_track_split(
     win: int = 9, iters: int = 30, eps: float = 0.01,
     min_eig_th: float = 1e-4, max_err: float = 30.0,
     max_fb_dist: float = 0.5, margin: int = 5,
+    n_base_levels: int = 1, priors2=None,
 ):
     """3D/2D split forward-backward KLT — the reference's two-pass
     tracking (`visual_front_end.cpp:187-271`) re-expressed for
@@ -193,15 +195,18 @@ def fb_klt_track_split(
     callers must NOT run another backward pass on top.
     """
     N = kps.shape[0]
-    # pass 1: prior-seeded fb at the base level, everyone
-    base_prev = (pyr_prev[0],)
-    base_cur = (pyr_cur[0],)
+    # pass 1: prior-seeded fb over the bottom ``n_base_levels`` (1 for
+    # frame-to-frame, 2 for from-keyframe tracking where the projected
+    # prior absorbs a multi-frame displacement — `visual_front_end.cpp:
+    # 290` "track 3d kps on only 2 levels"); backward stays base-only
+    base_prev = tuple(pyr_prev[:n_base_levels])
+    base_cur = tuple(pyr_cur[:n_base_levels])
     fwd1, st1f, _ = klt_track(
         base_prev, base_cur, kps, priors, valid,
         win=win, iters=iters, eps=eps, min_eig_th=min_eig_th,
         max_err=max_err, margin=margin)
     bwd1, st1b, _ = klt_track(
-        base_cur, base_prev, fwd1, kps, st1f,
+        (base_cur[0],), (base_prev[0],), fwd1, kps, st1f,
         win=win, iters=iters, eps=eps, min_eig_th=min_eig_th,
         max_err=max_err, margin=margin)
     st1 = st1f & st1b & (jnp.linalg.norm(bwd1 - kps, axis=-1)
@@ -219,8 +224,13 @@ def fb_klt_track_split(
     idx = jnp.argsort(~need2, stable=True)[:n_sub]
     s_sel = need2[idx]
     s_kps = kps[idx]
+    # pass-2 seeds: the kp's own position for frame-to-frame (the prior
+    # already failed); from-KF callers pass the CURRENT tracked position
+    # as ``priors2`` (`visual_front_end.cpp:385-388` — the KF->cur
+    # displacement can span many frames, the pyramid alone can't)
+    p2 = s_kps if priors2 is None else priors2[idx]
     fwd2, st2 = fb_klt_track(
-        pyr_prev, pyr_cur, s_kps, s_kps, s_sel,
+        pyr_prev, pyr_cur, s_kps, p2, s_sel,
         win=win, iters=iters, eps=eps, min_eig_th=min_eig_th,
         max_err=max_err, max_fb_dist=max_fb_dist, margin=margin)
 

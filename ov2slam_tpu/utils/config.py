@@ -315,8 +315,6 @@ def _load_camera(d: dict, side: str) -> CameraConfig:
 # value = (the behavior we implement, explanation)
 _UNHONORED = {
     "do_klt": (True, "KLT tracking is the only front-end tracker"),
-    "btrack_keyframetoframe": (
-        False, "tracking is frame-to-frame (kltTrackingFromKF not built)"),
     "bdo_random": (
         True, "RANSAC uses counter-based PRNG keys; runs are "
         "reproducible per-seed regardless of this flag"),

@@ -82,6 +82,20 @@ def test_loop_closure_on_circular_trajectory():
 
 
 @pytest.mark.slow
+def test_stereo_slam_track_from_kf():
+    """`btrack_keyframetoframe` (`kltTrackingFromKF`, `visual_front_end.
+    cpp:278-442`): tracking FROM the reference keyframe's image instead
+    of the previous frame. Drift must not be worse than frame-to-frame
+    on the same sequence (the mode exists to REDUCE accumulation)."""
+    seq = generate_sequence(n_frames=40, stereo=True, width=376, height=240,
+                            n_points=3000, seed=3, speed=0.06)
+    slam, poses = run_slam(seq, track_keyframetoframe=True)
+    assert slam.map.n_keyframes >= 2
+    ate = ate_rmse(poses, seq.gt_poses, align_scale=False)
+    assert ate < 0.05, f"from-KF stereo ATE {ate:.3f} m"
+
+
+@pytest.mark.slow
 def test_loop_closure_chained_frontend():
     """Device-chained (pipelined_frontend) mode on the SAME rotation-heavy
     loop sequence as above: the fast path and the accurate path must be

@@ -84,3 +84,31 @@ def test_draw_tracks_and_ply(tmp_path, rng):
     p2 = tmp_path / "traj.ply"
     export_trajectory_ply(poses, str(p2), frustum_every=3)
     assert "element edge" in p2.read_text()
+
+
+def test_export_html_viewer(tmp_path, rng):
+    """Self-contained interactive viewer (open3d_visualize_pose role):
+    one HTML file embedding trajectory/frusta/cloud data + renderer."""
+    from ov2slam_tpu.io.viz import export_html_viewer
+
+    n = 40
+    poses = np.zeros((n, 7), np.float64)
+    poses[:, 0] = 1.0  # identity quats
+    poses[:, 4] = np.linspace(0, 3, n)
+    pts = rng.normal(0, 1, (500, 3))
+    out = tmp_path / "viewer.html"
+    export_html_viewer(poses, pts, str(out),
+                       lc_pairs=[(0, n - 1)])
+    html = out.read_text()
+    assert html.startswith("<!doctype html>")
+    assert "SLAM_DATA" in html and "frusta" in html
+    # embedded data parses back as JSON with the right cardinalities
+    import json as _json
+    data = _json.loads(html.split("window.SLAM_DATA=")[1]
+                       .split(";</script>")[0])
+    assert len(data["traj"]) == n
+    assert len(data["points"]) == 500
+    assert data["lc"] == [[0, n - 1]]
+    assert len(data["frusta"][0]) == 5  # 5 frustum corners
+    # no external resources: must be viewable offline
+    assert "http" not in html.split("</title>")[1]
