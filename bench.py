@@ -624,7 +624,63 @@ def bench_dist_scaling():
              if k in ("n_devices", "efficiency", "lm_iter_ms",
                       "comm_frac", "psum_bytes")}
             for row in res["sweep"]]
+    try:
+        res.update(_measure_comm_anchor(res))
+    except Exception as e:  # anchor is additive evidence, never fatal
+        res["comm_anchor_error"] = f"{type(e).__name__}: {e}"[:80]
     return res
+
+
+def _measure_comm_anchor(res):
+    """TPU-measured compute anchor for the communication fraction: one
+    distributed-BA LM iteration on the REAL chip at 8-shard member load
+    (obs/8 per device). The virtual-CPU sweep measures psum bytes from
+    the compiled HLO but cannot measure chip compute time; combining
+    the chip-measured per-iteration compute with the ring-allreduce ICI
+    model for those bytes gives comm_frac_est = t_ici / (t_ici +
+    t_compute) — the number BASELINE.md's >=70% scaling-efficiency
+    target turns on."""
+    import jax
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return {}
+    from ov2slam_tpu.parallel.dist_ba import (AXIS, Mesh,
+                                              make_distributed_ba,
+                                              put_sharded,
+                                              shard_ba_problem)
+    from ov2slam_tpu.parallel.problems import realistic_window_problem
+
+    import jax.numpy as jnp
+
+    _, prob, params, _ = realistic_window_problem(n_kf=28, n_lm=6000)
+    n_shards = 8
+    shard_np = shard_ba_problem(prob, n_shards)
+    # member load: ONE shard's rows on the single real device
+    member = {k: v[:1] for k, v in shard_np.items()}
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (AXIS,))
+    iters = 5
+    step = make_distributed_ba(mesh, params, 5.9915, iters)
+    poses = jnp.asarray(prob.kf_poses)
+    fixed = jnp.asarray(prob.kf_fixed)
+    dev = put_sharded(mesh, member)
+    out = step(poses, fixed, dev)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = step(poses, fixed, dev)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    psum_bytes = next((r["psum_bytes"] for r in res.get("sweep", [])
+                       if r.get("n_devices") == n_shards), 0)
+    t_ici = (2 * (n_shards - 1) / n_shards) * psum_bytes / 45e9
+    comm_frac = t_ici / max(t_ici + best, 1e-12)
+    return {
+        "tpu_compute_ms_iter": round(best * 1e3, 2),
+        "ici_model_ms_iter": round(t_ici * 1e3, 4),
+        "comm_frac_est": round(comm_frac, 4),
+    }
 
 
 # --------------------------------------------------------------------- #

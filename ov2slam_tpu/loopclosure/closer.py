@@ -47,6 +47,7 @@ class LoopCloser:
         self.prof = Profiler.instance()
         self._rng = jax.random.PRNGKey(7)
         self.n_closures = 0
+        self._last_closure_seq = None
 
     def _key(self):
         self._rng, k = jax.random.split(self._rng)
@@ -117,12 +118,25 @@ class LoopCloser:
         self.prof.stop("4.LC_QueryIndex")
         if cand < 0 or not m.kf_valid[cand]:
             return False
+        # closure cooldown: right after a successful closure the map has
+        # just been corrected; consecutive candidates over the following
+        # few keyframes re-close the SAME place and each pose-graph snap
+        # re-perturbs a freshly consistent trajectory (measured on a
+        # two-lap revisit: 12 back-to-back closures, each followed by
+        # tracking starvation + relocalization). The reference's iBoW
+        # island consistency plays the same burst-suppression role
+        # (`lcdetector.h:42-60` consecutive-loops handling).
+        if (self._last_closure_seq is not None
+                and int(m.kf_seq[kfid]) - self._last_closure_seq
+                <= self.cfg.lc_cooldown_kfs):
+            return False
 
         self.prof.start("4.LC_ProcessCandidate")
         ok = self._process_candidate(kfid, int(cand))
         self.prof.stop("4.LC_ProcessCandidate")
         if ok:
             self.n_closures += 1
+            self._last_closure_seq = int(m.kf_seq[kfid])
             self.estimator.lc_kf_id = int(cand)
             # also shield it from capacity eviction (`store.add_keyframe`)
             self.map.protected_kf_slots = {int(cand)}
@@ -385,11 +399,34 @@ class LoopCloser:
         fixed = np.zeros(len(window), bool)
         fixed[i_cand] = True   # gauge = loop KF (`optimizer.cpp:2387`)
 
+        # BUCKET the problem shape: the window length grows with every
+        # closure (lap 2 of a revisit closes at each new KF), and an
+        # exact-shape jit would recompile the dense GN solve EVERY time
+        # (~12 s/closure measured on the tunneled chip — it collapsed
+        # online replay to a drop storm). Padding rows are identity
+        # poses pinned by fixed=True; padded edges carry weight 0 and
+        # index -1 — both already no-ops inside pose_graph_solve.
+        M = len(window)
+        M_pad = max(16, 1 << int(np.ceil(np.log2(M))))
+        E = len(ei)
+        E_pad = M_pad + 8
+        poses_p = np.zeros((M_pad, 7), np.float32)
+        poses_p[:, 0] = 1.0
+        poses_p[:M] = old_poses.astype(np.float32)
+        fixed_p = np.ones(M_pad, bool)
+        fixed_p[:M] = fixed
+        ei_p = np.full(E_pad, -1, np.int32); ei_p[:E] = ei
+        ej_p = np.full(E_pad, -1, np.int32); ej_p[:E] = ej
+        eT_p = np.zeros((E_pad, 7), np.float32)
+        eT_p[:, 0] = 1.0
+        eT_p[:E] = eT
+        ew_p = np.zeros(E_pad, np.float32); ew_p[:E] = ew
+
         new_poses, _ = pose_graph_solve(
-            jnp.asarray(old_poses.astype(np.float32)), jnp.asarray(fixed),
-            jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(eT),
-            jnp.asarray(ew), iters=self.cfg.posegraph_iters)
-        new_poses = np.array(new_poses, np.float64)
+            jnp.asarray(poses_p), jnp.asarray(fixed_p),
+            jnp.asarray(ei_p), jnp.asarray(ej_p), jnp.asarray(eT_p),
+            jnp.asarray(ew_p), iters=self.cfg.posegraph_iters)
+        new_poses = np.array(new_poses, np.float64)[:M]
 
         # propagate: landmarks anchored in window KFs move with their
         # anchor's correction (`optimizer.cpp:2528-2585`)

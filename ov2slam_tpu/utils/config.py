@@ -174,6 +174,8 @@ class SlamConfig:
 
     # --- loop closure (index params mirror `lcdetector.h:42-60`) ----------
     lc_recent_mask: int = 30        # exclude latest-KF window (ref p=100 imgs)
+    # skip new closures for this many KFs after a successful one
+    lc_cooldown_kfs: int = 5
     lc_min_score: float = 0.25
     lc_match_bits: int = 48
     lc_island_radius: int = 3

@@ -145,16 +145,21 @@ def so3_exp(w):
 
 
 def so3_log(q):
-    """Unit quaternion (..., 4) → axis-angle (..., 3). Taylor-safe at 0."""
+    """Unit quaternion (..., 4) → axis-angle (..., 3). Taylor-safe at 0,
+    including under forward-mode AD: every quantity the SELECTED small
+    branch touches must have finite tangents at qv = 0, so the Taylor
+    term is driven by sum(qv²) (clean derivative) — NOT by
+    ||qv||/arctan2, whose sqrt-at-zero tangent is NaN and used to leak
+    NaN Jacobians into zero-weight padded pose-graph edges."""
     q = jnp.where(q[..., 0:1] < 0, -q, q)  # w >= 0 ⇒ θ in [0, π]
     qw = jnp.clip(q[..., 0:1], -1.0, 1.0)
     qv = q[..., 1:4]
-    sin_half = jnp.linalg.norm(qv, axis=-1, keepdims=True)
+    sh2 = jnp.sum(qv * qv, axis=-1, keepdims=True)   # sin²(θ/2)
+    small = sh2 < _EPS * _EPS
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, sh2))
     half = jnp.arctan2(sin_half, qw)
-    small = sin_half < _EPS
-    # θ / sin(θ/2) with fallback 2 + θ²/12 ≈ 2 / (1 - θ²/24)
-    scale = jnp.where(small, 2.0 + (2.0 * half) ** 2 / 12.0,
-                      2.0 * half / jnp.where(small, 1.0, sin_half))
+    # θ / sin(θ/2) = 2·arcsin(s)/s ≈ 2 + s²/3 for small s
+    scale = jnp.where(small, 2.0 + sh2 / 3.0, 2.0 * half / sin_half)
     return scale * qv
 
 

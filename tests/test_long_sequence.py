@@ -45,7 +45,7 @@ def test_long_arc_realism_ate():
     Gate: <1.2% of the 15 m trajectory. The CI tier runs at 376x240
     (quarter resolution) to keep wall-time sane; the full-resolution
     long tier (where cm-level ATE is demonstrated) runs on the TPU via
-    `bench.py --stage e2e_sync` and is recorded in BENCHMARKS.md."""
+    `tools/protocol_bench.py` and is recorded in BENCHMARKS.md."""
     seq = stream_sequence(n_frames=300, stereo=True, width=376, height=240,
                           n_points=6000, seed=11, kind="arc", speed=0.05,
                           realism=CI_REALISM)

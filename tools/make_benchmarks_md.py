@@ -104,6 +104,33 @@ def main():
             lines.append(f"- **{c}** — {d}")
     lines += [
         "",
+        "## Findings (read the table with these)",
+        "",
+        "- **Online accuracy parity holds on the odometry cells**: "
+        "fast_arc online ATE (0.142 med) matches its flat-out ATE "
+        "(0.140) at 20 fps arrival with <0.2% drops — the reference's "
+        "defining fully-online property, at protocol scale.",
+        "- **Loop closure halves protocol-scale drift**: fast_revisit "
+        "throughput ATE 0.065-0.082 m with ~10 closures vs 0.12-0.16 m "
+        "on the closure-free arc of the same length (and endpoint "
+        "0.36 m vs 1.7 m).",
+        "- **KNOWN LIMITATION — online + loop closure is not stable**: "
+        "closure processing (verification cascade + pose graph + "
+        "structure/loose BA + landmark merges) runs under the map lock "
+        "on the worker; at 20 fps arrival a closure stalls the arrival "
+        "thread long enough to trigger drop storms and, on the revisit "
+        "sequence, tracking divergence (the absurd online ATE rows are "
+        "that divergence, recorded honestly). The reference gives the "
+        "LoopCloser its own thread with finer-grained locking; "
+        "replicating that split is the top remaining engineering item.",
+        "- **The accurate profile maps the reference's YAML faithfully "
+        "(CLAHE on, single-scale detector, denser grid, no P3P) but "
+        "scores WORSE than fast on these rendered sequences** (0.23 vs "
+        "0.14) — CLAHE amplifies the synthetic sensor noise that "
+        "dominates the renderer's texture, where EuRoC's real "
+        "photometry rewards it. Profile tunings are dataset-specific; "
+        "the mapping, not the tuning, is what parity requires.",
+        "",
         "## How to reproduce",
         "",
         "```bash",
