@@ -88,35 +88,56 @@ class LoopCloser:
                 np.asarray(desc_all)[N:].astype(np.uint32),
                 det[:, 5] > 0.5)
 
-    def process_keyframe(self, kfid: int, img=None) -> bool:
+    def process_keyframe(self, kfid: int, img=None, lock=None) -> bool:
         """Query + verify + close. Returns True if a loop was closed.
 
         ``img``: the keyframe's image (pyramid base); when given, extra
-        FAST/BRIEF keypoints augment the place query + index entry."""
+        FAST/BRIEF keypoints augment the place query + index entry.
+
+        ``lock``: when given (the async worker's map lock), only the
+        brief index query/add and the closure APPLICATION hold it — the
+        expensive verification cascade (extra-kp detection, knn,
+        epipolar/P3P RANSAC, local-map PnP: seconds with cold compiles)
+        runs lock-free so the arrival thread keeps tracking through it.
+        The reference runs its LoopCloser on a dedicated thread for the
+        same reason (`ov2slam.cpp:116-140`). Slot identity is guarded by
+        kf_seq snapshots re-checked under the lock before applying, the
+        same stale-slot pattern the BA write-back uses.
+        """
+        import contextlib
+
         m = self.map
-        desc = m.obs_desc[kfid]
-        valid = m.obs_lmid[kfid] >= 0
+        hold = (lambda: lock) if lock is not None else contextlib.nullcontext
+
+        with hold():
+            desc0 = m.obs_desc[kfid].copy()
+            valid0 = m.obs_lmid[kfid] >= 0
+            px0 = m.obs_px[kfid].copy()
+            seq_kf = int(m.kf_seq[kfid])
         self._extra = None   # (px, desc, valid) of the fresh detections
         if img is not None:
-            xp, xd, xv = self._extra_query_kps(img, m.obs_px[kfid], valid)
+            xp, xd, xv = self._extra_query_kps(img, px0, valid0)
             self._extra = (xp, xd, xv)
-            desc = np.concatenate([desc, xd], axis=0)
-            valid = np.concatenate([valid, xv], axis=0)
+            desc = np.concatenate([desc0, xd], axis=0)
+            valid = np.concatenate([valid0, xv], axis=0)
         else:
             # keep the index row shape static regardless of augmentation
-            desc = np.concatenate([desc, np.zeros_like(desc)], axis=0)
-            valid = np.concatenate([valid, np.zeros_like(valid)], axis=0)
+            desc = np.concatenate([desc0, np.zeros_like(desc0)], axis=0)
+            valid = np.concatenate([valid0, np.zeros_like(valid0)], axis=0)
 
         self.prof.start("4.LC_QueryIndex")
-        # exclude covisible KFs (`loop_closer.cpp:201-209`)
-        cov = set(int(k) for k in m.covisible_kfs(kfid, min_score=1))
-        cand, score = self.index.query(
-            desc, valid, exclude=cov,
-            seq_lookup=lambda ids: m.kf_seq[ids])
-        self.index.add(kfid, desc, valid, seq=int(m.kf_seq[kfid]),
-                       seq_lookup=lambda ids: m.kf_seq[np.asarray(ids)])
+        with hold():
+            # exclude covisible KFs (`loop_closer.cpp:201-209`)
+            cov = set(int(k) for k in m.covisible_kfs(kfid, min_score=1))
+            cand, score = self.index.query(
+                desc, valid, exclude=cov,
+                seq_lookup=lambda ids: m.kf_seq[ids])
+            self.index.add(kfid, desc, valid, seq=int(m.kf_seq[kfid]),
+                           seq_lookup=lambda ids: m.kf_seq[np.asarray(ids)])
+            cand_ok = cand >= 0 and m.kf_valid[cand]
+            seq_cand = int(m.kf_seq[cand]) if cand_ok else -1
         self.prof.stop("4.LC_QueryIndex")
-        if cand < 0 or not m.kf_valid[cand]:
+        if not cand_ok:
             return False
         # closure cooldown: right after a successful closure the map has
         # just been corrected; consecutive candidates over the following
@@ -127,16 +148,17 @@ class LoopCloser:
         # island consistency plays the same burst-suppression role
         # (`lcdetector.h:42-60` consecutive-loops handling).
         if (self._last_closure_seq is not None
-                and int(m.kf_seq[kfid]) - self._last_closure_seq
+                and seq_kf - self._last_closure_seq
                 <= self.cfg.lc_cooldown_kfs):
             return False
 
         self.prof.start("4.LC_ProcessCandidate")
-        ok = self._process_candidate(kfid, int(cand))
+        ok = self._process_candidate(kfid, int(cand), lock=lock,
+                                     seq_guard=(seq_kf, seq_cand))
         self.prof.stop("4.LC_ProcessCandidate")
         if ok:
             self.n_closures += 1
-            self._last_closure_seq = int(m.kf_seq[kfid])
+            self._last_closure_seq = seq_kf
             self.estimator.lc_kf_id = int(cand)
             # also shield it from capacity eviction (`store.add_keyframe`)
             self.map.protected_kf_slots = {int(cand)}
@@ -144,7 +166,8 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ #
 
-    def _process_candidate(self, kfid: int, cand: int) -> bool:
+    def _process_candidate(self, kfid: int, cand: int, lock=None,
+                           seq_guard=None) -> bool:
         cfg = self.cfg
         m = self.map
 
@@ -231,9 +254,21 @@ class LoopCloser:
         if n_inliers < pnp_gate:
             return False
 
-        # 5) pose-graph correction + landmark propagation + merges
-        self._apply_closure(kfid, cand, T_loop,
-                            list(zip(rows3d, lms3d)) + extra)
+        # 5) pose-graph correction + landmark propagation + merges —
+        # the only mutating step; under the worker lock when given, with
+        # slot-identity re-validation (the lock-free cascade above may
+        # have raced a capacity eviction recycling either KF slot)
+        import contextlib
+
+        hold = (lambda: lock) if lock is not None else contextlib.nullcontext
+        with hold():
+            if seq_guard is not None:
+                if (not m.kf_valid[kfid] or not m.kf_valid[cand]
+                        or int(m.kf_seq[kfid]) != seq_guard[0]
+                        or int(m.kf_seq[cand]) != seq_guard[1]):
+                    return False   # slot recycled mid-verification
+            self._apply_closure(kfid, cand, T_loop,
+                                list(zip(rows3d, lms3d)) + extra)
         return True
 
     # ------------------------------------------------------------------ #

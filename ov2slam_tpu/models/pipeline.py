@@ -336,9 +336,14 @@ class AsyncSlamManager(SlamManager):
                             delta, fe.motion.prev_T)
                     fe.chain_apply_correction(T_old, f.T_wc)
         if self.loop_closer is not None and not under_pressure:
-            with self.map_lock:
-                self.loop_closer.process_keyframe(
-                    kfid, img=pyr[0] if pyr is not None else None)
+            # lock passed DOWN, not held here: the closer holds it only
+            # for the index query/add and the closure application — the
+            # multi-second verification cascade runs lock-free so paced
+            # arrival keeps tracking (round-5 revisit bench: closure
+            # stalls under the lock caused drop storms + divergence)
+            self.loop_closer.process_keyframe(
+                kfid, img=pyr[0] if pyr is not None else None,
+                lock=self.map_lock)
 
     # ------------------------------------------------------------------ #
 

@@ -42,6 +42,19 @@ class Relocalizer:
         self.prof = Profiler.instance()
         self._rng = jax.random.PRNGKey(23)
         self.n_relocs = 0
+        # attempt pacing under real-time arrival: a full attempt is a
+        # multi-dispatch recovery (place query + detect + P3P + PnP +
+        # local-map restore — hundreds of ms, seconds on first compile)
+        # that runs ON the arrival thread; retrying EVERY lost frame
+        # turned one tracking miss into a drop storm on paced replay
+        # (round-5 revisit bench). Wall-clock backoff: attempts are
+        # spaced >= reloc_min_interval_s apart, which never throttles
+        # offline replay (frames arrive slower than the interval) but
+        # caps the recovery load a 20 fps paced source can impose.
+        # Skipped frames keep the predicted pose (the reference's lost
+        # state just resets, `ov2slam.cpp:428-455` — any recovery at
+        # all is beyond-reference).
+        self._last_attempt_t = -1e18
 
     def _key(self):
         self._rng, k = jax.random.split(self._rng)
@@ -57,6 +70,13 @@ class Relocalizer:
         m = self.map
         if frontend.cur_pyr is None or len(self.index.kf_ids) < 2:
             return False
+        import time as _t
+
+        now = _t.perf_counter()
+        if now - self._last_attempt_t < float(
+                getattr(cfg, "reloc_min_interval_s", 0.25)):
+            return False
+        self._last_attempt_t = now
         self.prof.start("5.Relocalize")
         try:
             ok = self._attempt(frontend)

@@ -176,6 +176,10 @@ class SlamConfig:
     lc_recent_mask: int = 30        # exclude latest-KF window (ref p=100 imgs)
     # skip new closures for this many KFs after a successful one
     lc_cooldown_kfs: int = 5
+    # while lost, space relocalization attempts at least this far
+    # apart in wall time (attempts are multi-dispatch and run on the
+    # arrival thread; a paced source must not drown in them)
+    reloc_min_interval_s: float = 0.25
     lc_min_score: float = 0.25
     lc_match_bits: int = 48
     lc_island_radius: int = 3

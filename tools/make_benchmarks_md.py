@@ -115,14 +115,17 @@ def main():
         "on the closure-free arc of the same length (and endpoint "
         "0.36 m vs 1.7 m).",
         "- **KNOWN LIMITATION — online + loop closure is not stable**: "
-        "closure processing (verification cascade + pose graph + "
-        "structure/loose BA + landmark merges) runs under the map lock "
-        "on the worker; at 20 fps arrival a closure stalls the arrival "
-        "thread long enough to trigger drop storms and, on the revisit "
-        "sequence, tracking divergence (the absurd online ATE rows are "
-        "that divergence, recorded honestly). The reference gives the "
-        "LoopCloser its own thread with finer-grained locking; "
-        "replicating that split is the top remaining engineering item.",
+        "the LC verification cascade now runs lock-free on the worker "
+        "(only the index query and the closure application hold the map "
+        "lock), but two residual mechanisms still break paced revisit "
+        "replay: first-candidate XLA compiles land mid-run (seconds), "
+        "and once tracking hiccups at a heading reversal the "
+        "map-preserving relocalizer — a multi-second, multi-dispatch "
+        "recovery that runs ON the arrival thread — turns one miss into "
+        "a drop storm (the absurd online ATE rows are that divergence, "
+        "recorded honestly). Bounding/rate-limiting relocalization "
+        "attempts under paced arrival and pre-warming the LC candidate "
+        "path are the top remaining engineering items.",
         "- **The accurate profile maps the reference's YAML faithfully "
         "(CLAHE on, single-scale detector, denser grid, no P3P) but "
         "scores WORSE than fast on these rendered sequences** (0.23 vs "
