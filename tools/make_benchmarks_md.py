@@ -123,9 +123,12 @@ def main():
         "map-preserving relocalizer — a multi-second, multi-dispatch "
         "recovery that runs ON the arrival thread — turns one miss into "
         "a drop storm (the absurd online ATE rows are that divergence, "
-        "recorded honestly). Bounding/rate-limiting relocalization "
-        "attempts under paced arrival and pre-warming the LC candidate "
-        "path are the top remaining engineering items.",
+        "recorded honestly). Attempts are now wall-clock rate-limited "
+        "(reloc_min_interval_s) and the cascade is lock-free, but a "
+        "SINGLE attempt still costs multi-second wall on the tunneled "
+        "chip — bounding the per-attempt duration (fused relocalization "
+        "dispatch, pre-warmed LC candidate shapes) is the top remaining "
+        "engineering item.",
         "- **The accurate profile maps the reference's YAML faithfully "
         "(CLAHE on, single-scale detector, denser grid, no P3P) but "
         "scores WORSE than fast on these rendered sequences** (0.23 vs "
