@@ -76,7 +76,6 @@ class Relocalizer:
         if now - self._last_attempt_t < float(
                 getattr(cfg, "reloc_min_interval_s", 0.25)):
             return False
-        self._last_attempt_t = now
         self.prof.start("5.Relocalize")
         try:
             ok = self._attempt(frontend)
@@ -92,27 +91,38 @@ class Relocalizer:
         img = frontend.cur_pyr[0]
         N = cfg.max_kps
 
-        # 1) fresh detections + descriptors on the lost frame
+        # 1) fresh detections + descriptors on the lost frame — ONE
+        # fused dispatch + two readbacks via the SAME jitted kernel the
+        # keyframe path uses (identical static config -> zero extra
+        # compiles; the previous three eager calls cost 3 dispatches +
+        # 3 readbacks on a ~30 ms-RTT tunnel, the bulk of the measured
+        # multi-second attempt)
+        from .frontend_step import fused_detect_describe
+
+        if cfg.use_shi_tomasi:
+            detector, thresh = "gftt", frontend._quality
+        elif cfg.use_singlescale_detector:
+            detector, thresh = "single", frontend._quality
+        else:
+            detector, thresh = "fast", frontend._fast_th
         empty_px = jnp.zeros((N, 2), jnp.float32)
         empty_valid = jnp.zeros(N, bool)
-        if cfg.use_shi_tomasi:
-            kps, _, det_ok = detect_gftt(
-                img, empty_px, empty_valid, frontend._quality,
-                cell_size=cfg.max_dist, max_out=N)
-        elif cfg.use_singlescale_detector:
-            kps, _, det_ok = detect_single_scale(
-                img, empty_px, empty_valid, frontend._quality,
-                cell_size=cfg.max_dist, max_out=N)
-        else:
-            kps, _, det_ok = detect_grid_fast(
-                img, empty_px, empty_valid, frontend._fast_th,
-                cell_size=cfg.max_dist, max_out=N)
-        desc, _ = describe_brief(img, kps, det_ok)
-        kps_np = np.array(kps)
-        det_ok_np = np.array(det_ok)
-        desc_np = np.array(desc)
+        desc_all, det_packed = fused_detect_describe(
+            img, empty_px, empty_valid, float(thresh), frontend._calib,
+            detector=detector, cell_size=cfg.max_dist, max_out=N,
+            fisheye=frontend._fisheye)
+        det_packed = np.asarray(det_packed)
+        kps_np = det_packed[:, 0:2].astype(np.float32)
+        det_ok_np = det_packed[:, 5] > 0.5
+        desc_np = np.asarray(desc_all)[N:].astype(np.uint32)
         if det_ok_np.sum() < 15:
             return False
+        # the backoff clock arms ONLY past the cheap detect gate: a
+        # featureless frame (sensor blackout) fails in one dispatch and
+        # must not delay the real attempt on the next textured frame
+        import time as _t
+
+        self._last_attempt_t = _t.perf_counter()
 
         # 2) place-recognition candidates (best-first)
         for cand, score in self.index.query_best(
@@ -141,18 +151,14 @@ class Relocalizer:
         from ..utils import lie_np
 
         m = self.map
-        assigned_lm = set(int(l) for l in lmids)
         cov = m.covisible_kfs(cand, min_score=1, max_n=10)
-        cand_lms = []
-        for k in [cand] + [int(c) for c in cov]:
-            for l in m.kf_landmark_ids(k, only_3d=True):
-                l = int(l)
-                if l not in assigned_lm:
-                    assigned_lm.add(l)
-                    cand_lms.append(l)
-        if not cand_lms:
+        kf_list = [cand] + [int(c) for c in cov]
+        lm_all = np.unique(m.obs_lmid[kf_list].ravel())
+        lm_all = lm_all[lm_all >= 0]
+        lm_all = lm_all[m.lm_valid[lm_all] & m.lm_is3d[lm_all]]
+        cand_lms = lm_all[~np.isin(lm_all, lmids)].astype(np.int32)
+        if len(cand_lms) == 0:
             return rows, lmids
-        cand_lms = np.asarray(cand_lms, np.int32)
 
         T_cw = lie_np.pose_inverse(T_wc.astype(np.float64))
         pc = lie_np.pose_apply(T_cw, m.lm_pos[cand_lms].astype(np.float64))
